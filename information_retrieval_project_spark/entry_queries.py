@@ -1,0 +1,987 @@
+"""Driver-contract queries: Spark plan + DuckDB oracle SQL per operator.
+
+Each entry implements one operator family from SURVEY.md §2 over the driver's
+parquet tables (documents/embeddings/lineitem/orders/customer/...). The Spark
+side is DataFrame/Catalyst-native (JVM column math — no Python UDFs in any of
+these plans); the oracle side is ANSI SQL for DuckDB. Column names and float
+rounding match exactly on both sides (driver hashes values order-insensitively).
+
+Tokenization here is the engine's frozen "code" strategy expressed natively:
+split(lower(text), '[^a-z0-9_]+') minus empty strings — byte-identical to
+functions.textnorm.tokenize(text, "code") and to the DuckDB regexp split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+BM25_QUERY = ["join", "spark", "window"]     # terms present in the driver corpus
+LM_QUERY = ["table", "query"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) in document order — native split/explode."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id, t.term AS term
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS term
+        FROM documents
+    ) t
+    WHERE t.term <> ''
+"""
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+_TF_SQL = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKENS_SQL}) GROUP BY doc_id, term"
+
+
+# ---------------------------------------------------------------------------
+# IR core (SURVEY.md §2.4 A1-A3, §2.8 F1-F4, §2.6 T1)
+# ---------------------------------------------------------------------------
+
+def q_tf_pairs(spark, sf_dir):
+    return _tf(spark, sf_dir)
+
+
+SQL_TF_PAIRS = _TF_SQL
+
+
+def q_term_df(spark, sf_dir):
+    return _tf(spark, sf_dir).groupBy("term").agg(F.count("*").alias("df"))
+
+
+SQL_TERM_DF = f"SELECT term, count(*) AS df FROM ({_TF_SQL}) GROUP BY term"
+
+
+def q_doc_stats(spark, sf_dir):
+    return _tf(spark, sf_dir).groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+
+
+SQL_DOC_STATS = f"SELECT doc_id, sum(tf) AS doc_len FROM ({_TF_SQL}) GROUP BY doc_id"
+
+
+def q_collection_stats(spark, sf_dir):
+    ds = q_doc_stats(spark, sf_dir)
+    return ds.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+    )
+
+
+SQL_COLLECTION_STATS = f"""
+    SELECT count(*) AS n_docs,
+           round(avg(doc_len), 6) AS avgdl,
+           sum(doc_len) AS total_terms
+    FROM (SELECT doc_id, sum(tf) AS doc_len FROM ({_TF_SQL}) GROUP BY doc_id)
+"""
+
+
+def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """Candidate-doc BM25 scores, fully native column math (SURVEY.md §3.1)."""
+    tf = _tf(spark, sf_dir)
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    terms_df = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    cand = tf.join(F.broadcast(terms_df), "term")
+    dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        cand.join(F.broadcast(dfq), "term")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def q_bm25_scores(spark, sf_dir):
+    s = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    return s.select("doc_id", F.round("score", 5).alias("score"))
+
+
+def _bm25_sql(terms: list[str], with_topk: bool) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    body = f"""
+    WITH tf AS ({_TF_SQL}),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ds),
+    qterms(term) AS (VALUES {tlist}),
+    cand AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+    dfq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+    scored AS (
+        SELECT cand.doc_id,
+               sum(
+                   ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (cand.tf * ({K1} + 1.0))
+                   / (cand.tf + {K1} * (1.0 - {B} + {B} * ds.doc_len / stats.avgdl))
+               ) AS score
+        FROM cand
+        JOIN dfq USING (term)
+        JOIN ds ON cand.doc_id = ds.doc_id
+        CROSS JOIN stats
+        GROUP BY cand.doc_id
+    )
+    """
+    if with_topk:
+        return (
+            body
+            + " SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,"
+            + " doc_id, round(score, 5) AS score FROM scored"
+            + " ORDER BY score DESC, doc_id ASC LIMIT 10"
+        )
+    return body + " SELECT doc_id, round(score, 5) AS score FROM scored"
+
+
+SQL_BM25_SCORES = _bm25_sql(BM25_QUERY, with_topk=False)
+
+
+def q_bm25_topk(spark, sf_dir):
+    s = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", F.round("score", 5).alias("score"))
+    )
+
+
+SQL_BM25_TOPK = _bm25_sql(BM25_QUERY, with_topk=True)
+
+
+def q_tfidf_cosine(spark, sf_dir):
+    """sklearn-form TF-IDF cosine vs the fixed query (SURVEY.md F3/F4)."""
+    terms = sorted(set(BM25_QUERY))
+    tf = _tf(spark, sf_dir)
+    n_docs_df = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "w_raw",
+            F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w_raw") ** 2)).alias("nrm"))
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    qw = (
+        terms_df.join(dfs, "term", "left")
+        .na.fill({"df": 0})
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn(
+            "qw_raw",
+            F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0,
+        )
+    )
+    qn = qw.agg(F.sqrt(F.sum(F.col("qw_raw") ** 2)).alias("qn"))
+    return (
+        w.join(norm, "doc_id")
+        .join(F.broadcast(qw.select("term", "qw_raw")), "term")
+        .crossJoin(F.broadcast(qn))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("w_raw") * F.col("qw_raw")) / (F.first("nrm") * F.first("qn")),
+                5,
+            ).alias("score")
+        )
+    )
+
+
+SQL_TFIDF_COSINE = f"""
+    WITH tf AS ({_TF_SQL}),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfs.df)) + 1.0) AS w_raw
+        FROM tf JOIN dfs USING (term) CROSS JOIN nd
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w_raw * w_raw)) AS nrm FROM w GROUP BY doc_id),
+    qterms(term) AS (VALUES ('join'), ('spark'), ('window')),
+    qw AS (
+        SELECT q.term,
+               ln((1.0 + nd.n_docs) / (1.0 + coalesce(dfs.df, 0))) + 1.0 AS qw_raw
+        FROM qterms q LEFT JOIN dfs ON q.term = dfs.term CROSS JOIN nd
+    ),
+    qn AS (SELECT sqrt(sum(qw_raw * qw_raw)) AS qn FROM qw)
+    SELECT w.doc_id,
+           round(sum(w.w_raw * qw.qw_raw) / (any_value(nrm.nrm) * any_value(qn.qn)), 5) AS score
+    FROM w JOIN qw USING (term)
+    JOIN nrm ON w.doc_id = nrm.doc_id
+    CROSS JOIN qn
+    GROUP BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: groups + canonical keeper (min doc_id)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+"""
+
+
+_N_HASHES = 8
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash over distinct terms; hash_i(t) = md5(i || '_' || t), min taken
+    lexicographically (md5 hex order is a uniform permutation proxy — same
+    string semantics in both engines)."""
+    toks = _tokens(spark, sf_dir).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("term")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+    SELECT doc_id,
+           {", ".join(f"min(md5('{i}_' || term)) AS h{i}" for i in range(_N_HASHES))}
+    FROM (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL}))
+    GROUP BY doc_id
+"""
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    """LSH banding: 4 bands × 2 rows; candidate pairs share any band value.
+    Classic MinHash-LSH (Broder; MMDS ch.3) as a self-join on band keys."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = None
+    for bidx in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(bidx).alias("band"),
+            F.concat(F.col(f"h{2 * bidx}"), F.col(f"h{2 * bidx + 1}")).alias("key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SQL_MINHASH_BAND_PAIRS = f"""
+    WITH sig AS ({SQL_MINHASH_SIGNATURES}),
+    bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+        UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+        UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+        UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """3-token-shingle Jaccard over candidate pairs sharing ≥1 shingle.
+    Join-based set-similarity (the scalable form of pairwise Jaccard)."""
+    toks = _tokens(spark, sf_dir).withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy(F.monotonically_increasing_id()))
+    )
+    # shingles via native lead window on token order
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.withColumn("t2", F.lead("term", 1).over(w))
+        .withColumn("t3", F.lead("term", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 5))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+    WITH toks AS (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id) AS pos
+        FROM ({_TOKENS_SQL})
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(term, 2) OVER w IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("term").alias("n_distinct"),
+        F.round(F.count_distinct("term") / F.count("*"), 6).alias("ttr"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(DISTINCT term) AS n_distinct,
+           round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr,
+           round(avg(length(term)), 6) AS avg_token_len
+    FROM ({_TOKENS_SQL}) GROUP BY doc_id
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality heuristics: chars/token, short-doc and low-diversity flags."""
+    d = _t(spark, sf_dir, "documents")
+    ts = q_token_stats(spark, sf_dir)
+    return (
+        d.select("doc_id", "n_chars")
+        .join(ts, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias("chars_per_token"),
+            (F.col("n_tokens") < 40).cast("int").alias("flag_short"),
+            (F.col("ttr") < 0.3).cast("int").alias("flag_low_diversity"),
+        )
+    )
+
+
+SQL_DOC_QUALITY = f"""
+    WITH ts AS ({SQL_TOKEN_STATS})
+    SELECT d.doc_id,
+           round(d.n_chars * 1.0 / ts.n_tokens, 6) AS chars_per_token,
+           CASE WHEN ts.n_tokens < 40 THEN 1 ELSE 0 END AS flag_short,
+           CASE WHEN ts.ttr < 0.3 THEN 1 ELSE 0 END AS flag_low_diversity
+    FROM documents d JOIN ts ON d.doc_id = ts.doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic content fingerprint: md5 over the sorted distinct term
+    set (document fingerprinting for dedup bookkeeping)."""
+    toks = _tokens(spark, sf_dir).distinct()
+    return toks.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.array_sort(F.collect_set("term")), " ")).alias(
+            "fingerprint"
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+    SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
+    FROM (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL}))
+    GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_cosine_scores(spark, sf_dir):
+    """Brute-force cosine of every vector vs the vec_id=0 query vector —
+    the exact baseline for ANN (SURVEY.md 'similarity search'). Native
+    higher-order functions: zip_with + aggregate, no UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("qv"))), 5).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+SQL_COSINE_SCORES = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(
+               list_dot_product(e.embedding, q.qv)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-model parity ops (SURVEY.md §2.10 L3/L7, A4, F8)
+# ---------------------------------------------------------------------------
+
+def _positions(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9_]+"), lambda x: x != ""
+            )
+        ).alias("pos", "term"),
+    )
+
+
+_POSITIONS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS term
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+"""
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Collection-level adjacent-bigram counts (reference ngrams,
+    data_manager.py:499-503), filtered to cnt>=5 to bound output."""
+    p = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        p.withColumn("b", F.lead("term", 1).over(w))
+        .filter(F.col("b").isNotNull())
+        .groupBy(F.col("term").alias("a"), "b")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+SQL_BIGRAM_COUNTS = f"""
+    WITH p AS ({_POSITIONS_SQL}),
+    bg AS (
+        SELECT doc_id, term AS a,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM p
+    )
+    SELECT a, b, count(*) AS cnt FROM bg WHERE b IS NOT NULL
+    GROUP BY a, b HAVING count(*) >= 5
+"""
+
+
+def q_skipgram_counts(spark, sf_dir):
+    """Skip-gram pair counts within window s=2 (reference skip(),
+    data_manager.py:392-397): ordered pairs (a,b) with 1 <= pos_b-pos_a <= 2,
+    via a self-join on position — the distributed form of the nested loop."""
+    p = _positions(spark, sf_dir)
+    a = p.alias("x")
+    b = p.alias("y")
+    return (
+        a.join(
+            b,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("y.pos") - F.col("x.pos") >= 1)
+            & (F.col("y.pos") - F.col("x.pos") <= 2),
+        )
+        .groupBy(F.col("x.term").alias("a"), F.col("y.term").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+SQL_SKIPGRAM_COUNTS = f"""
+    WITH p AS ({_POSITIONS_SQL})
+    SELECT x.term AS a, y.term AS b, count(*) AS cnt
+    FROM p x JOIN p y
+      ON x.doc_id = y.doc_id AND y.pos - x.pos BETWEEN 1 AND 2
+    GROUP BY x.term, y.term HAVING count(*) >= 10
+"""
+
+
+def q_laplace_lm(spark, sf_dir):
+    """Laplace-smoothed log P(query|doc) (reference Laplace_smooth,
+    data_manager.py:427-438): Σ_t ln((1+tf)/(doc_len+|V|)) over the fixed
+    2-term query — log-sum form of the reference's product (SURVEY.md A8)."""
+    tf = _tf(spark, sf_dir)
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    vocab = tf.select("term").distinct().agg(F.count("*").alias("v"))
+    terms_df = spark.createDataFrame([(t,) for t in sorted(set(LM_QUERY))], "qterm string")
+    grid = ds.crossJoin(F.broadcast(terms_df)).crossJoin(F.broadcast(vocab))
+    joined = grid.join(
+        tf.withColumnRenamed("term", "qterm"),
+        ["doc_id", "qterm"],
+        "left",
+    ).na.fill({"tf": 0})
+    return (
+        joined.withColumn(
+            "logp", F.log((1.0 + F.col("tf")) / (F.col("doc_len") + F.col("v")))
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("logp"), 5).alias("log_prob"))
+    )
+
+
+SQL_LAPLACE_LM = f"""
+    WITH tf AS ({_TF_SQL}),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM tf),
+    qterms(qterm) AS (VALUES ('query'), ('table')),
+    grid AS (SELECT ds.doc_id, ds.doc_len, q.qterm, vocab.v
+             FROM ds CROSS JOIN qterms q CROSS JOIN vocab)
+    SELECT g.doc_id,
+           round(sum(ln((1.0 + coalesce(tf.tf, 0)) / (g.doc_len + g.v))), 5) AS log_prob
+    FROM grid g
+    LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.qterm
+    GROUP BY g.doc_id
+"""
+
+
+def q_ppmi(spark, sf_dir):
+    """PPMI over adjacent bigrams (reference pmi_matrix,
+    data_manager.py:639-655): max(log2(P(w,c)/(P(w)P(c))), 0) on sparse
+    triples — never a dense V×V matrix (SURVEY.md L7)."""
+    p = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        p.withColumn("b", F.lead("term", 1).over(w))
+        .filter(F.col("b").isNotNull())
+        .groupBy(F.col("term").alias("a"), "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = bg.agg(F.sum("cnt").alias("t"))
+    ca = bg.groupBy("a").agg(F.sum("cnt").alias("cnt_a"))
+    cb = bg.groupBy("b").agg(F.sum("cnt").alias("cnt_b"))
+    return (
+        bg.filter(F.col("cnt") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.greatest(
+                    F.log2(
+                        (F.col("cnt") * F.col("t"))
+                        / (F.col("cnt_a") * F.col("cnt_b"))
+                    ),
+                    F.lit(0.0),
+                ),
+                5,
+            ).alias("ppmi"),
+        )
+    )
+
+
+SQL_PPMI = f"""
+    WITH p AS ({_POSITIONS_SQL}),
+    bg0 AS (
+        SELECT doc_id, term AS a,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM p
+    ),
+    bg AS (SELECT a, b, count(*) AS cnt FROM bg0 WHERE b IS NOT NULL GROUP BY a, b),
+    tot AS (SELECT sum(cnt) AS t FROM bg),
+    ca AS (SELECT a, sum(cnt) AS cnt_a FROM bg GROUP BY a),
+    cb AS (SELECT b, sum(cnt) AS cnt_b FROM bg GROUP BY b)
+    SELECT bg.a, bg.b,
+           round(greatest(log2((bg.cnt * tot.t * 1.0) / (ca.cnt_a * cb.cnt_b)), 0.0), 5) AS ppmi
+    FROM bg JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+    WHERE bg.cnt >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Evaluation metrics (SURVEY.md L9/W3/W4, A9)
+# ---------------------------------------------------------------------------
+
+def q_pr_curve(spark, sf_dir):
+    """Precision/recall/interpolated-precision over a deterministic ranking
+    (reference getPred + interpolation, data_manager.py:231-259): rank docs
+    by n_chars DESC, label = (lang = 'en'), windows for cumulative P/R and
+    the running-max interpolated precision."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("rel")
+    )
+    w_rank = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = (
+        d.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 50)
+    )
+    tot = ranked.agg(F.sum("rel").alias("total_rel"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("rank").rowsBetween(0, Window.unboundedFollowing)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rel", F.sum("rel").over(w_cum))
+        .withColumn("precision", F.round(F.col("cum_rel") / F.col("rank"), 6))
+        .withColumn("recall", F.round(F.col("cum_rel") / F.col("total_rel"), 6))
+        .withColumn(
+            "interp_precision",
+            F.round(F.max(F.col("cum_rel") / F.col("rank")).over(w_fwd), 6),
+        )
+        .select("rank", "doc_id", "rel", "precision", "recall", "interp_precision")
+    )
+
+
+SQL_PR_CURVE = """
+    WITH ranked AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents
+        QUALIFY rank <= 50
+    ),
+    tot AS (SELECT sum(rel) AS total_rel FROM ranked)
+    SELECT rank, doc_id, rel,
+           round(sum(rel) OVER w_cum * 1.0 / rank, 6) AS precision,
+           round(sum(rel) OVER w_cum * 1.0 / total_rel, 6) AS recall,
+           round(max(sum(rel) OVER w_cum * 1.0 / rank)
+                 OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+               AS interp_precision
+    FROM ranked CROSS JOIN tot
+    WINDOW w_cum AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_avg_precision(spark, sf_dir):
+    """Average precision = Σ ΔR·P over the ranking (reference A9/W4,
+    data_manager.py:256-258) — lag window + sum aggregate."""
+    pr = q_pr_curve(spark, sf_dir).select("rank", "precision", "recall")
+    w = Window.orderBy("rank")
+    return (
+        pr.withColumn("d_recall", F.col("recall") - F.lag("recall", 1, 0.0).over(w))
+        .agg(F.round(F.sum(F.col("d_recall") * F.col("precision")), 6).alias("avg_precision"))
+    )
+
+
+SQL_AVG_PRECISION = f"""
+    WITH pr AS ({SQL_PR_CURVE})
+    SELECT round(sum((recall - lag(recall, 1, 0.0) OVER (ORDER BY rank)) * precision)
+                 OVER (), 6) AS avg_precision
+    FROM pr
+    QUALIFY row_number() OVER (ORDER BY rank) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (joins/aggs/windows/set ops — SURVEY.md §2.2-2.7)
+# ---------------------------------------------------------------------------
+
+def q_semi_join_customers(spark, sf_dir):
+    """Customers with ≥1 order — LEFT SEMI (reference isin, main.py:48)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI_JOIN_CUSTOMERS = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Customers with no orders — LEFT ANTI (reference discard pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style hash aggregate with partial+final agg (SURVEY.md A1)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + agg + deterministic top-k (broadcast dim side)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+    return (
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+        .limit(25)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "c_custkey", "c_name", "total_spent", "n_orders")
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+    WITH agg AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT row_number() OVER (ORDER BY total_spent DESC, o_custkey ASC) AS rank,
+           c_custkey, c_name, total_spent, n_orders
+    FROM agg JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_spent DESC, o_custkey ASC LIMIT 25
+"""
+
+
+def q_running_order_totals(spark, sf_dir):
+    """Per-customer running revenue (window frame, SURVEY.md W3-style)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+            F.row_number()
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .alias("order_seq"),
+        )
+    )
+
+
+SQL_RUNNING_ORDER_TOTALS = """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders WHERE o_custkey <= 200
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    """Set-op / distinct coverage: per-lang doc counts + distinct sources."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+    SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang
+"""
+
+
+def q_event_sessionize(spark, sf_dir):
+    """Event-stream op over the events table: per-user event counts by type +
+    value stats (the batch form of the streaming rollup)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+SQL_EVENT_SESSIONIZE = """
+    SELECT user_id, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tf_pairs": q_tf_pairs,
+    "term_df": q_term_df,
+    "doc_stats": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "bm25_scores": q_bm25_scores,
+    "bm25_topk": q_bm25_topk,
+    "tfidf_cosine": q_tfidf_cosine,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_band_pairs": q_minhash_band_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_scores": q_cosine_scores,
+    "bigram_counts": q_bigram_counts,
+    "skipgram_counts": q_skipgram_counts,
+    "laplace_lm": q_laplace_lm,
+    "ppmi": q_ppmi,
+    "pr_curve": q_pr_curve,
+    "avg_precision": q_avg_precision,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "running_order_totals": q_running_order_totals,
+    "lang_distribution": q_lang_distribution,
+    "event_sessionize": q_event_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "tf_pairs": SQL_TF_PAIRS,
+    "term_df": SQL_TERM_DF,
+    "doc_stats": SQL_DOC_STATS,
+    "collection_stats": SQL_COLLECTION_STATS,
+    "bm25_scores": SQL_BM25_SCORES,
+    "bm25_topk": SQL_BM25_TOPK,
+    "tfidf_cosine": SQL_TFIDF_COSINE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_band_pairs": SQL_MINHASH_BAND_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "token_stats": SQL_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "cosine_scores": SQL_COSINE_SCORES,
+    "bigram_counts": SQL_BIGRAM_COUNTS,
+    "skipgram_counts": SQL_SKIPGRAM_COUNTS,
+    "laplace_lm": SQL_LAPLACE_LM,
+    "ppmi": SQL_PPMI,
+    "pr_curve": SQL_PR_CURVE,
+    "avg_precision": SQL_AVG_PRECISION,
+    "semi_join_customers": SQL_SEMI_JOIN_CUSTOMERS,
+    "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "running_order_totals": SQL_RUNNING_ORDER_TOTALS,
+    "lang_distribution": SQL_LANG_DISTRIBUTION,
+    "event_sessionize": SQL_EVENT_SESSIONIZE,
+}

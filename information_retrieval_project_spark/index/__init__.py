@@ -1,0 +1,18 @@
+from .build import (  # noqa: F401
+    BuildConfig,
+    build_index,
+    build_postings,
+    collection_stats,
+    doc_stats,
+    read_index,
+    tokenize_tf,
+    with_doc_id,
+    write_index,
+)
+from .codec import (  # noqa: F401
+    decode_postings,
+    encode_postings,
+    merge_sorted_runs,
+    varbyte_decode,
+    varbyte_encode,
+)

@@ -1,0 +1,225 @@
+"""Block-max WAND top-k over compressed postings + the distributed
+compressed-index query path.
+
+The kernel is pure numpy over decoded (doc_id, tf) runs with per-block max-tf
+metadata (codec.block_max_meta): blocks whose best-possible score cannot beat
+the current k-th score are skipped without decoding their docs' contributions.
+Classic algorithm (Broder et al. 2003; Ding & Suel 2011 block-max variant —
+public literature); the reference scores every document every query
+(data_manager.py:126), so WAND is the engine's scale substitute.
+
+Distributed path: the index rows for the (few) query terms are filtered with
+partition pruning on term_bucket, decoded inside one Arrow batch per term,
+exploded to candidates, joined to doc_stats, aggregated, top-k — all native
+after the decode UDF. The single-node kernel is used by tests (WAND ==
+exhaustive property) and by the per-shard scorer.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.codec import BLOCK, decode_postings
+from .bm25 import B, K1, topk
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def bm25_tf_component(tf, doc_len, avgdl: float, k1: float = K1, b: float = B):
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * doc_len / avgdl))
+
+
+def wand_topk(
+    postings: dict[str, tuple[np.ndarray, np.ndarray]],
+    doc_len: dict[int, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    block_max_tf: dict[str, np.ndarray] | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Exact top-k via block-max WAND. postings: term → (sorted doc_ids, tfs).
+
+    Returns [(doc_id, score)] sorted by (score desc, doc_id asc). Exact:
+    pruning only skips docs provably below the entry threshold.
+    """
+    terms = [t for t in postings if postings[t][0].size > 0]
+    if not terms:
+        return []
+    idf = {t: bm25_idf(n_docs, postings[t][0].size) for t in terms}
+    # per-term upper bound on the tf component is (k1+1) when tf→∞; tighter:
+    # use max tf with the *minimum* length normalizer (dl→0 ⇒ denom tf+k1(1-b))
+    ub = {}
+    for t in terms:
+        mt = float(postings[t][1].max())
+        ub[t] = idf[t] * (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b))
+    # block-level upper bounds for skipping
+    bub = {}
+    for t in terms:
+        if block_max_tf is not None and t in block_max_tf:
+            bmt = block_max_tf[t].astype(np.float64)
+        else:
+            d, tf = postings[t]
+            nb = (d.size + BLOCK - 1) // BLOCK
+            bmt = np.array(
+                [tf[i * BLOCK : (i + 1) * BLOCK].max() for i in range(nb)],
+                dtype=np.float64,
+            )
+        bub[t] = idf[t] * (bmt * (k1 + 1.0)) / (bmt + k1 * (1.0 - b))
+
+    cursors = {t: 0 for t in terms}  # index into postings[t]
+    heap: list[tuple[float, int]] = []  # (score, -?) min-heap of top-k
+    INF = np.iinfo(np.int64).max
+
+    def cur_doc(t):
+        c = cursors[t]
+        d = postings[t][0]
+        return int(d[c]) if c < d.size else INF
+
+    while True:
+        order = sorted(terms, key=cur_doc)
+        # accumulate term upper bounds until they could beat the threshold
+        theta = heap[0][0] if len(heap) >= k else -1.0
+        acc = 0.0
+        pivot_term = None
+        for t in order:
+            if cur_doc(t) == INF:
+                break
+            acc += ub[t]
+            if acc > theta + 1e-12:
+                pivot_term = t
+                break
+        if pivot_term is None:
+            break
+        pivot_doc = cur_doc(pivot_term)
+        if pivot_doc == INF:
+            break
+        first_doc = cur_doc(order[0])
+        if first_doc == pivot_doc:
+            # block-max check: refine the bound using block maxima at pivot
+            block_bound = 0.0
+            active = []
+            for t in order:
+                if cur_doc(t) > pivot_doc:
+                    break
+                blk = cursors[t] // BLOCK
+                # advance the block view to the one containing pivot_doc
+                d = postings[t][0]
+                c = cursors[t]
+                while (blk + 1) * BLOCK <= c or (
+                    (blk + 1) * BLOCK < d.size and d[min((blk + 1) * BLOCK, d.size) - 1] < pivot_doc
+                ):
+                    blk += 1
+                block_bound += bub[t][min(blk, len(bub[t]) - 1)]
+                active.append(t)
+            if len(heap) >= k and block_bound <= heap[0][0] + 1e-12:
+                # skip: advance the lowest cursor past pivot_doc
+                t0 = order[0]
+                d0 = postings[t0][0]
+                cursors[t0] = int(np.searchsorted(d0, pivot_doc + 1))
+                continue
+            # fully score pivot_doc
+            dl = doc_len.get(pivot_doc, avgdl)
+            s = 0.0
+            for t in active:
+                d, tf = postings[t]
+                c = cursors[t]
+                j = int(np.searchsorted(d, pivot_doc))
+                if j < d.size and d[j] == pivot_doc:
+                    s += idf[t] * bm25_tf_component(float(tf[j]), float(dl), avgdl, k1, b)
+                    cursors[t] = j + 1
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -pivot_doc))
+            elif (s, -pivot_doc) > heap[0]:
+                heapq.heapreplace(heap, (s, -pivot_doc))
+        else:
+            # advance all cursors before the pivot to pivot_doc
+            for t in order:
+                if cur_doc(t) >= pivot_doc:
+                    break
+                d = postings[t][0]
+                cursors[t] = int(np.searchsorted(d, pivot_doc))
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def decode_candidates(index_rows: DataFrame) -> DataFrame:
+    """index(term, df, postings, ...) → (term, doc_id, tf) via Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, docs, tfs = [], [], []
+            for term, buf in zip(pdf["term"].values, pdf["postings"].values):
+                d, t = decode_postings(bytes(buf))
+                terms.append(np.full(d.size, term, dtype=object))
+                docs.append(d)
+                tfs.append(t)
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs),
+                        "tf": np.concatenate(tfs),
+                    }
+                )
+
+    return index_rows.select("term", "postings").mapInPandas(
+        gen, "term string, doc_id long, tf long"
+    )
+
+
+def bm25_topk_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Query the compressed index: prune to query terms (term + term_bucket
+    predicate pushdown), decode, score natively, top-k."""
+    uniq = sorted(set(query_tokens))
+    cond = F.col("term").isin(uniq)
+    if "term_bucket" in index_df.columns:
+        buckets = (
+            index_df.sparkSession.createDataFrame([(t,) for t in uniq], "term string")
+            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(32)))
+        )
+        bvals = [r["tb"] for r in buckets.select("tb").distinct().collect()]
+        cond = cond & F.col("term_bucket").isin(bvals)
+    rows = index_df.filter(cond)
+    idf = rows.select(
+        "term",
+        F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    cand = decode_candidates(rows)
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .join(doc_stats_df, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return topk(scored, k)
