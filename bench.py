@@ -1,0 +1,165 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+ "index_build": {...}, "scaling": {...}}
+
+- Headline queries run on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  at local[$SPARK_GRAFT_CPUS].
+- index_build: synthetic input_hint corpus (repo,path,commit,lang,content)
+  → full salted+compressed inverted index, files/sec throughput.
+- scaling: the same build at parallelism N and 4N (local[N] vs local[4N]) on
+  the same input — the sandbox stand-in for executor counts per BASELINE.md —
+  with efficiency = throughput(4N) / (4 * throughput(N)).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS (corpus size for
+the build benchmark, default 20000), BENCH_SCALING=0 to skip the N/4N runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "bm25_topk",
+    "tfidf_cosine",
+    "term_df",
+    "minhash_band_pairs",
+    "token_stats",
+    "cosine_scores",
+    "pricing_summary",
+    "top_customers",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from information_retrieval_project_spark import entry_queries as EQ
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = EQ.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    return times
+
+
+def query_latency(n_docs: int, master: str, shuffle: int, n_queries: int = 20) -> dict:
+    """BM25 top-k latency over the BUILT index (tf relation cached — the
+    reference refits per query, data_manager.py:122-123; we index once)."""
+    import numpy as np
+
+    from information_retrieval_project_spark.corpus import VOCAB, generate_corpus
+    from information_retrieval_project_spark.index.build import (
+        doc_stats,
+        tokenize_tf,
+        with_doc_id,
+    )
+    from information_retrieval_project_spark.queryexec.bm25 import bm25_topk
+    from information_retrieval_project_spark.session import get_spark
+
+    spark = get_spark(f"bench-query-{master}", master=master, shuffle_partitions=shuffle)
+    try:
+        corpus = generate_corpus(spark, n_docs, partitions=max(shuffle, 8))
+        tf_df = tokenize_tf(with_doc_id(corpus)).cache()
+        ds = doc_stats(tf_df).cache()
+        cs = ds.agg({"doc_len": "avg", "*": "count"}).collect()[0]
+        n, avgdl = cs["count(1)"], cs["avg(doc_len)"]
+        ds.count()  # materialize caches before timing
+        rng = np.random.default_rng(7)
+        lat = []
+        for qi in range(n_queries):
+            toks = [VOCAB[int(i)] for i in rng.integers(0, 200, size=3)]
+            t0 = time.time()
+            bm25_topk(spark, tf_df, ds, n, avgdl, toks, k=10).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        return {
+            "n_docs": n_docs,
+            "n_queries": n_queries,
+            "p50_sec": round(lat[len(lat) // 2], 3),
+            "p95_sec": round(lat[int(len(lat) * 0.95) - 1], 3),
+            "mean_sec": round(sum(lat) / len(lat), 3),
+        }
+    finally:
+        spark.stop()
+
+
+def build_throughput(n_docs: int, master: str, shuffle: int) -> dict:
+    """Fresh session → generate corpus → full index build → files/sec."""
+    from information_retrieval_project_spark.corpus import generate_corpus
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_index,
+    )
+    from information_retrieval_project_spark.session import get_spark
+
+    spark = get_spark(f"bench-build-{master}", master=master, shuffle_partitions=shuffle)
+    try:
+        corpus = generate_corpus(spark, n_docs, partitions=max(shuffle, 8)).cache()
+        corpus.count()  # materialize: exclude generation from build timing
+        t0 = time.time()
+        idx, ds, cs = build_index(corpus, BuildConfig(hot_df_threshold=20000, docs_per_salt=20000))
+        n_terms = idx.count()
+        stats = cs.collect()[0]
+        dt = time.time() - t0
+        return {
+            "master": master,
+            "n_docs": n_docs,
+            "n_terms": n_terms,
+            "total_terms": stats["total_terms"],
+            "seconds": round(dt, 3),
+            "files_per_sec": round(n_docs / dt, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    do_scaling = os.environ.get("BENCH_SCALING", "1") != "0"
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from information_retrieval_project_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    t0 = time.time()
+    qtimes = run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if do_scaling:
+        n_small = max(2, cpus // 4)
+        lo = build_throughput(n_docs, f"local[{n_small}]", n_small)
+        hi = build_throughput(n_docs, f"local[{cpus}]", cpus)
+        eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
+        result["index_build"] = hi
+        result["scaling"] = {
+            "n_cores": n_small,
+            "n4_cores": cpus,
+            "files_per_sec_n": lo["files_per_sec"],
+            "files_per_sec_4n": hi["files_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+        result["query_latency"] = query_latency(n_docs, f"local[{cpus}]", cpus)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

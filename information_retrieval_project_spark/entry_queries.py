@@ -51,6 +51,31 @@ _TOKENS_SQL = """
 """
 
 
+def _positions(spark, sf_dir):
+    """(doc_id, pos, term) in document order — native posexplode."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9_]+"), lambda x: x != ""
+            )
+        ).alias("pos", "term"),
+    )
+
+
+_POSITIONS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS term
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+"""
+
+
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
@@ -273,22 +298,46 @@ SQL_DEDUP_EXACT = """
 _N_HASHES = 8
 
 
+def _shingles(spark, sf_dir):
+    """Distinct 3-token shingles per doc (the MinHash/Jaccard unit — unigram
+    sets degenerate on small vocabularies). Token positions via posexplode —
+    deterministic document order on both engines."""
+    p = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        p.withColumn("t2", F.lead("term", 1).over(w))
+        .withColumn("t3", F.lead("term", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+    FROM ({_POSITIONS_SQL})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(term, 2) OVER w IS NOT NULL
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash over distinct terms; hash_i(t) = md5(i || '_' || t), min taken
-    lexicographically (md5 hex order is a uniform permutation proxy — same
-    string semantics in both engines)."""
-    toks = _tokens(spark, sf_dir).distinct()
+    """MinHash over distinct 3-token shingles; hash_i(s) = md5(i || '_' || s),
+    min taken lexicographically (md5 hex order is a uniform permutation proxy
+    — identical string semantics in both engines)."""
+    sh = _shingles(spark, sf_dir)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("term")))).alias(f"h{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 SQL_MINHASH_SIGNATURES = f"""
     SELECT doc_id,
-           {", ".join(f"min(md5('{i}_' || term)) AS h{i}" for i in range(_N_HASHES))}
-    FROM (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL}))
+           {", ".join(f"min(md5('{i}_' || shingle)) AS h{i}" for i in range(_N_HASHES))}
+    FROM ({_SHINGLES_SQL})
     GROUP BY doc_id
 """
 
@@ -338,18 +387,7 @@ SQL_MINHASH_BAND_PAIRS = f"""
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """3-token-shingle Jaccard over candidate pairs sharing ≥1 shingle.
     Join-based set-similarity (the scalable form of pairwise Jaccard)."""
-    toks = _tokens(spark, sf_dir).withColumn(
-        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy(F.monotonically_increasing_id()))
-    )
-    # shingles via native lead window on token order
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        toks.withColumn("t2", F.lead("term", 1).over(w))
-        .withColumn("t3", F.lead("term", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
-        .distinct()
-    )
+    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -367,18 +405,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
-    WITH toks AS (
-        SELECT doc_id, term,
-               row_number() OVER (PARTITION BY doc_id) AS pos
-        FROM ({_TOKENS_SQL})
-    ),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
-        FROM toks
-        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        QUALIFY lead(term, 2) OVER w IS NOT NULL
-    ),
+    WITH sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -470,7 +497,9 @@ def q_cosine_scores(spark, sf_dir):
     """Brute-force cosine of every vector vs the vec_id=0 query vector —
     the exact baseline for ANN (SURVEY.md 'similarity search'). Native
     higher-order functions: zip_with + aggregate, no UDF."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
@@ -497,13 +526,14 @@ def q_cosine_scores(spark, sf_dir):
 
 
 SQL_COSINE_SCORES = """
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
     SELECT e.vec_id,
            round(
                list_dot_product(e.embedding, q.qv)
                / (sqrt(list_dot_product(e.embedding, e.embedding))
                   * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
-    FROM embeddings e CROSS JOIN q
+    FROM e CROSS JOIN q
     WHERE e.vec_id <> 0
 """
 
@@ -511,30 +541,6 @@ SQL_COSINE_SCORES = """
 # ---------------------------------------------------------------------------
 # Language-model parity ops (SURVEY.md §2.10 L3/L7, A4, F8)
 # ---------------------------------------------------------------------------
-
-def _positions(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9_]+"), lambda x: x != ""
-            )
-        ).alias("pos", "term"),
-    )
-
-
-_POSITIONS_SQL = """
-    SELECT doc_id,
-           generate_subscripts(toks, 1) - 1 AS pos,
-           unnest(toks) AS term
-    FROM (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-                           x -> x <> '') AS toks
-        FROM documents
-    )
-"""
-
 
 def q_bigram_counts(spark, sf_dir):
     """Collection-level adjacent-bigram counts (reference ngrams,
@@ -725,15 +731,20 @@ SQL_PR_CURVE = """
         FROM documents
         QUALIFY rank <= 50
     ),
-    tot AS (SELECT sum(rel) AS total_rel FROM ranked)
+    tot AS (SELECT sum(rel) AS total_rel FROM ranked),
+    cum AS (
+        SELECT rank, doc_id, rel,
+               sum(rel) OVER (ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+        FROM ranked
+    )
     SELECT rank, doc_id, rel,
-           round(sum(rel) OVER w_cum * 1.0 / rank, 6) AS precision,
-           round(sum(rel) OVER w_cum * 1.0 / total_rel, 6) AS recall,
-           round(max(sum(rel) OVER w_cum * 1.0 / rank)
+           round(cum_rel * 1.0 / rank, 6) AS precision,
+           round(cum_rel * 1.0 / total_rel, 6) AS recall,
+           round(max(cum_rel * 1.0 / rank)
                  OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
                AS interp_precision
-    FROM ranked CROSS JOIN tot
-    WINDOW w_cum AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    FROM cum CROSS JOIN tot
 """
 
 
@@ -749,11 +760,13 @@ def q_avg_precision(spark, sf_dir):
 
 
 SQL_AVG_PRECISION = f"""
-    WITH pr AS ({SQL_PR_CURVE})
-    SELECT round(sum((recall - lag(recall, 1, 0.0) OVER (ORDER BY rank)) * precision)
-                 OVER (), 6) AS avg_precision
-    FROM pr
-    QUALIFY row_number() OVER (ORDER BY rank) = 1
+    WITH pr AS ({SQL_PR_CURVE}),
+    d AS (
+        SELECT precision,
+               recall - lag(recall, 1, 0.0) OVER (ORDER BY rank) AS d_recall
+        FROM pr
+    )
+    SELECT round(sum(d_recall * precision), 6) AS avg_precision FROM d
 """
 
 
@@ -921,6 +934,94 @@ SQL_EVENT_SESSIONIZE = """
 
 
 # ---------------------------------------------------------------------------
+# Compressed-index path in the gate: the salted build + varbyte codec must
+# reproduce the SQL-visible relations exactly (df per term; BM25 scores).
+# ---------------------------------------------------------------------------
+
+def _docs_as_corpus(spark, sf_dir):
+    """Adapt the driver documents table to the engine's corpus contract."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text").alias("content")
+    )
+
+
+def q_compressed_term_df(spark, sf_dir):
+    """df per term READ BACK from the compressed posting lists (salted build
+    → varbyte decode length) — oracle is plain SQL term_df, so a codec or
+    salting bug fails the driver gate."""
+    from .index.build import BuildConfig, build_postings, tokenize_tf
+
+    tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200))
+    return idx.select("term", "df")
+
+
+def q_bm25_topk_compressed(spark, sf_dir):
+    """BM25 top-10 via decode of delta+varbyte postings (the engine's stored
+    index path) — oracle is the same SQL BM25 as q_bm25_topk."""
+    from .index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+        tokenize_tf,
+    )
+    from .queryexec.wand import bm25_topk_compressed
+
+    tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200))
+    out = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], BM25_QUERY, k=10
+    )
+    return out.select("rank", "doc_id", F.round("score", 5).alias("score"))
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash64 per doc (rows-only: bit-vote fingerprint is not ANSI-SQL)."""
+    from .dedup.dedup import simhash64
+
+    return simhash64(_docs_as_corpus(spark, sf_dir), content_col="content")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed cosine top-10 vs vec_id=0 (rows-only: hyperplane literals
+    are engine-internal)."""
+    from .similarity.ann import hyperplanes, lsh_bucketed_topk, rp_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    planes = hyperplanes(len(qv), n_planes=8, seed=42)
+    bucketed = rp_lsh_buckets(emb.filter(F.col("vec_id") != 0), planes)
+    return lsh_bucketed_topk(bucketed, planes, [float(x) for x in qv], k=10)
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-heuristic language ID over documents (rows-only: argmax with
+    comparator-lambda tie-break)."""
+    from .textstats.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return language_id(d).select("doc_id", "pred_lang", "pred_lang_hits")
+
+
+def q_token_counts(spark, sf_dir):
+    from .textstats.textstats import token_counts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    return token_counts(d).select("doc_id", "ws_tokens", "bpe_ish_tokens")
+
+
+SQL_TOKEN_COUNTS = """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]')) AS bpe_ish_tokens
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -953,6 +1054,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_order_totals": q_running_order_totals,
     "lang_distribution": q_lang_distribution,
     "event_sessionize": q_event_sessionize,
+    "compressed_term_df": q_compressed_term_df,
+    "bm25_topk_compressed": q_bm25_topk_compressed,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -984,4 +1091,9 @@ ORACLE_SQL: dict[str, str] = {
     "running_order_totals": SQL_RUNNING_ORDER_TOTALS,
     "lang_distribution": SQL_LANG_DISTRIBUTION,
     "event_sessionize": SQL_EVENT_SESSIONIZE,
+    "compressed_term_df": SQL_TERM_DF,
+    "bm25_topk_compressed": SQL_BM25_TOPK,
+    "token_counts": SQL_TOKEN_COUNTS,
+    # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
+    # (non-ANSI-SQL ops) → driver records rows-only checks.
 }

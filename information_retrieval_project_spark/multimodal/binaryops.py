@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+partition-size control — while the actual media decode is stubbed (the
+sandbox has no image/audio libraries): decode_image_stub raises
+NotImplementedError unless `fake=True`, in which case it produces a
+deterministic fake decode derived from the bytes (so downstream plumbing is
+testable end-to-end).
+
+Design rules for 100 TB of media:
+- binary payloads stay in their own column; metadata is typed struct columns
+  so filters/pruning never touch the payload bytes;
+- all per-row work happens in mapInPandas with a bounded
+  spark.sql.execution.arrow.maxRecordsPerBatch so a batch of large blobs
+  cannot OOM an executor;
+- feature outputs are fixed-length array<float> columns ready for the
+  similarity module's ANN operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, n_bytes long"
+)
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns computed natively from the binary payload."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col))).withColumn(
+        "payload_sha", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8. STUB: no codec libs in this
+    container. With fake=True returns a deterministic 8x8x3 array derived
+    from the payload hash (stable plumbing fixture)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/opencv) not present "
+            "in this environment; pass fake=True for the deterministic stub"
+        )
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return arr.reshape(8, 8, 3).copy()
+
+
+def frame_sample_stub(payload: bytes, every_n: int = 10, fake: bool = False) -> list[np.ndarray]:
+    """Sample frames from a video payload. STUB (same policy as decode)."""
+    if not fake:
+        raise NotImplementedError("video frame sampling requires ffmpeg bindings")
+    n_frames = max(1, len(payload) // (1024 * every_n))
+    return [decode_image_stub(payload + bytes([i % 256]), fake=True) for i in range(min(n_frames, 4))]
+
+
+FEATURE_SCHEMA = "media_id long, feature array<float>"
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, fake: bool = True
+) -> DataFrame:
+    """media(media_id, payload) → (media_id, feature: array<float>[dim]).
+
+    The Arrow plumbing (batch iteration, fixed-length float output) is the
+    real contract; the 'model' is the deterministic stub. Swapping in a real
+    encoder changes only the body of `featurize`."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                img = decode_image_stub(bytes(payload), fake=fake)
+                flat = img.reshape(-1).astype(np.float32)
+                # deterministic pooled "embedding": block means, L2-normed
+                blocks = np.array_split(flat, dim)
+                v = np.array([b.mean() for b in blocks], dtype=np.float32)
+                nrm = float(np.linalg.norm(v))
+                ids.append(media_id)
+                feats.append((v / nrm if nrm > 0 else v).tolist())
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)

@@ -1,0 +1,94 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers (per the training-data-pipeline requirements):
+- brute_force_cosine_topk: exact baseline — native higher-order functions
+  (zip_with/aggregate dot product) + TakeOrderedAndProject. No UDF, fully
+  codegen'd; at 100 TB this is a full scan, which is exactly what the exact
+  baseline must be.
+- rp_lsh_buckets / lsh_bucketed_topk: random-hyperplane LSH (Charikar 2002,
+  public algorithm). Hyperplanes are derived deterministically from a seed via
+  numpy and injected as literal arrays, so the plan stays native; candidates
+  are restricted to the query's bucket (and optional multi-probe neighbors),
+  turning the scan into a bucket-pruned lookup. At scale the bucket id is a
+  partition column — partition pruning does the candidate selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    e = emb.withColumn("_v", _as_double(F.col(vec_col)))
+    scored = e.select(
+        F.col(id_col),
+        (_dot(F.col("_v"), q) / (_norm(F.col("_v")) * _norm(q))).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_buckets(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Add a sign-pattern bucket id: bit_j = [dot(v, h_j) >= 0]. Pure column
+    math — each plane is a literal array folded into the plan."""
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for j, h in enumerate(planes):
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        bit = (_dot(v, hcol) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return emb.withColumn(bucket_col, bucket)
+
+
+def lsh_bucketed_topk(
+    emb_with_buckets: DataFrame,
+    planes: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's bucket (plus multi-probe
+    buckets within the given Hamming distance of it)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (planes @ qv >= 0).astype(np.int64)
+    qbucket = int((qbits << np.arange(len(planes))).sum())
+    buckets = {qbucket}
+    if probe_hamming >= 1:
+        for j in range(len(planes)):
+            buckets.add(qbucket ^ (1 << j))
+    cand = emb_with_buckets.filter(F.col("bucket").isin(sorted(buckets)))
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,167 @@
+"""Tests for dedup / similarity / textstats / multimodal modules."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_project_spark.dedup.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from information_retrieval_project_spark.multimodal.binaryops import (
+    decode_image_stub,
+    extract_features,
+    with_media_metadata,
+)
+from information_retrieval_project_spark.similarity.ann import (
+    brute_force_cosine_topk,
+    hyperplanes,
+    lsh_bucketed_topk,
+    rp_lsh_buckets,
+)
+from information_retrieval_project_spark.textstats.textstats import (
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "def parse_config return import class handle_request stream buffer"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base + " extra_token_x"),                # near dup of 1
+        (4, "completely different words entirely unrelated content here ok"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(docs):
+    out = {r["content_hash"]: r for r in exact_dedup(docs).collect()}
+    assert any(r["n_copies"] == 2 and r["keeper"] == 1 for r in out.values())
+    assert sum(r["n_copies"] for r in out.values()) == 5
+
+
+def test_minhash_pipeline_finds_near_dups(docs):
+    sh = shingles(docs)
+    sig = minhash_signatures(sh, n_hashes=16)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sig).collect()}
+    assert (1, 2) in pairs           # identical docs always collide
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    sh = shingles(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    sim = simhash64(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]  # identical content → identical fingerprint
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(sim, max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # near-dup 3 should be close to 1; unrelated 4 should not be within 16
+    assert (1, 4) not in pairs or pairs[(1, 4)] > pairs.get((1, 3), 64)
+
+
+def test_brute_force_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = rng.standard_normal(8)
+    got = brute_force_cosine_topk(df, q.tolist(), k=5).collect()
+    v64 = vecs.astype(np.float64)
+    sims = v64 @ q / (np.linalg.norm(v64, axis=1) * np.linalg.norm(q))
+    want = np.argsort(-sims)[:5].tolist()
+    assert [r["vec_id"] for r in got] == want
+    for r in got:
+        assert abs(r["cosine"] - sims[r["vec_id"]]) < 1e-6
+
+
+def test_lsh_bucketed_topk_recalls_top1(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = hyperplanes(16, n_planes=6, seed=1)
+    bucketed = rp_lsh_buckets(df, planes).cache()
+    q = vecs[17].astype(np.float64)  # query = an existing vector
+    got = lsh_bucketed_topk(bucketed, planes, q.tolist(), k=3, probe_hamming=1).collect()
+    assert got and got[0]["vec_id"] == 17  # its own bucket always probed
+    assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world, this is a test!!! 123")],
+        "doc_id long, content string",
+    )
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 7
+    assert r["bpe_ish_tokens"] == 11  # hello world , this is a test !!! 123
+    q = quality_scores(df).collect()[0]
+    assert q["n_tokens"] == 7
+    assert 0 < q["punct_ratio"] < 0.3
+    assert q["stopword_ratio"] > 0.2  # this/is/a
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in that house"),
+            (2, "el perro y la casa de los gatos una vez"),
+            (3, "der hund und die katze ist nicht ein problem"),
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_doc_fingerprints_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha  beta,,, gamma!!")],
+        "doc_id long, content string",
+    )
+    rows = {r["doc_id"]: r for r in doc_fingerprints(df).collect()}
+    assert rows[1]["exact_fp"] != rows[2]["exact_fp"]
+    assert rows[1]["token_set_fp"] == rows[2]["token_set_fp"]  # norm-stable
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [(i, bytes([i]) * (100 + i)) for i in range(10)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = with_media_metadata(media).collect()
+    assert all(m["n_bytes"] == 100 + m["media_id"] for m in meta)
+    feats = extract_features(media, dim=16, fake=True).collect()
+    assert len(feats) == 10
+    for r in feats:
+        v = np.array(r["feature"])
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # the non-fake path must refuse loudly, not silently fake
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"xx", fake=False)
