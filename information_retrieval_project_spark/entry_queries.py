@@ -1021,6 +1021,58 @@ SQL_TOKEN_COUNTS = """
 """
 
 
+def q_jm_smoothing(spark, sf_dir):
+    """Jelinek-Mercer smoothed log P(q|doc) at λ=0.5 over sentinel-wrapped
+    bigram LMs — the lm module end-to-end (reference LinInterp_Smooth,
+    data_manager.py:442-482, incl. the λ+λ quirk of :480)."""
+    from .lm.language_models import jelinek_mercer_scores, skipgram_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sg = skipgram_pairs(d, s=1)
+    out = jelinek_mercer_scores(spark, sg, LM_QUERY, lambdas=[0.5])
+    return out.select("doc_id", F.round("log_score", 5).alias("log_score"))
+
+
+SQL_JM_SMOOTHING = """
+    WITH toks AS (
+        SELECT doc_id,
+               ['#S'] || list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                      x -> x <> '') || ['#E'] AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS term
+        FROM toks
+    ),
+    bg AS (
+        SELECT doc_id, term AS a,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM pos
+    ),
+    dlm AS (SELECT doc_id, a, b, count(*) AS cnt FROM bg WHERE b IS NOT NULL GROUP BY ALL),
+    dmarg AS (SELECT doc_id, a, sum(cnt) AS cnt_a FROM dlm GROUP BY ALL),
+    clm AS (SELECT a, b, sum(cnt) AS ccnt FROM dlm GROUP BY ALL),
+    cmarg AS (SELECT a, sum(ccnt) AS ccnt_a FROM clm GROUP BY ALL),
+    qb(a, b) AS (VALUES ('#S', 'table'), ('table', 'query'), ('query', '#E')),
+    cells AS (
+        SELECT d.doc_id, q.a, q.b,
+               coalesce(dlm.cnt, 0) * 1.0 / nullif(dmarg.cnt_a, 0) AS p_doc,
+               coalesce(clm.ccnt, 0) * 1.0 / nullif(cmarg.ccnt_a, 0) AS p_coll
+        FROM (SELECT DISTINCT doc_id FROM dlm) d
+        CROSS JOIN qb q
+        LEFT JOIN dlm ON dlm.doc_id = d.doc_id AND dlm.a = q.a AND dlm.b = q.b
+        LEFT JOIN dmarg ON dmarg.doc_id = d.doc_id AND dmarg.a = q.a
+        LEFT JOIN clm ON clm.a = q.a AND clm.b = q.b
+        LEFT JOIN cmarg ON cmarg.a = q.a
+    )
+    SELECT doc_id,
+           round(sum(ln(CASE WHEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) > 0
+                             THEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) END)), 5)
+               AS log_score
+    FROM cells GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1060,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "jm_smoothing": q_jm_smoothing,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1094,6 +1147,7 @@ ORACLE_SQL: dict[str, str] = {
     "compressed_term_df": SQL_TERM_DF,
     "bm25_topk_compressed": SQL_BM25_TOPK,
     "token_counts": SQL_TOKEN_COUNTS,
+    "jm_smoothing": SQL_JM_SMOOTHING,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }

@@ -90,12 +90,15 @@ def normalize_tokenize(
     stem: bool = False,
     stopwords: bool = False,
 ) -> list[str]:
-    """The engine's full text→tokens path (normalize then tokenize).
+    """The engine's full text→tokens path.
 
-    Defaults (no stem, no stopword removal) match the DuckDB-oracle-checkable
-    pipeline used for driver correctness; parity mode (stem=True,
-    stopwords=True) matches the reference's recipe pipeline shape.
-    """
+    Default mode (no stem, no stopword removal) is pure regex tokenization of
+    the lowered text — semantically identical to the native
+    `split(lower(text), '[^a-z0-9_]+')` plan used in the SQL-checkable
+    queries, and vectorizable batch-side. Parity mode (stem/stopwords) runs
+    the reference-shaped clean_normalize first (data_manager.py:74-88)."""
+    if not stem and not stopwords:
+        return tokenize(text, strategy)
     return tokenize(clean_normalize(text, stem=stem, stopwords=stopwords), strategy)
 
 

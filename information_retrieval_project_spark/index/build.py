@@ -33,12 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textnorm import normalize_tokenize
-from .codec import block_max_meta, decode_postings, encode_postings, merge_sorted_runs, varbyte_encode
+from .codec import block_max_meta, encode_postings, varbyte_encode
 
 TF_SCHEMA = "doc_id long, term string, tf long"
 INDEX_SCHEMA = "term string, df long, max_tf long, postings binary, bm_docs binary, bm_tfs binary"
-_RUN_SCHEMA = "term string, salt int, postings binary"
 
 
 def with_doc_id(corpus: DataFrame) -> DataFrame:
@@ -65,27 +63,35 @@ def tokenize_tf(
     the single largest shuffle of the naive explode+groupBy plan.
     """
 
+    import re as _re
+
+    from ..functions.textnorm import _TOKEN_PATTERNS, clean_normalize
+
+    pat = _TOKEN_PATTERNS[strategy]
+    parity = stem or stopwords
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_term, out_tf = [], [], []
-            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
-                toks = normalize_tokenize(
-                    content, strategy, stem=stem, stopwords=stopwords
+            texts = pdf["content"]
+            if parity:  # reference-shaped normalize first (slow path)
+                texts = texts.map(
+                    lambda t: clean_normalize(t, stem=stem, stopwords=stopwords)
                 )
-                if not toks:
-                    continue
-                terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                out_doc.append(np.full(terms.size, doc_id, dtype=np.int64))
-                out_term.append(terms)
-                out_tf.append(counts.astype(np.int64))
-            if out_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(out_doc),
-                        "term": np.concatenate(out_term),
-                        "tf": np.concatenate(out_tf),
-                    }
-                )
+            # vectorized: lower + findall run in pandas' C string loops
+            tok_lists = texts.str.lower().str.findall(pat)
+            lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+            terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+            out = (
+                pd.DataFrame({"doc_id": doc_ids, "term": terms})
+                .groupby(["doc_id", "term"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            yield out
 
     return corpus_with_id.select("doc_id", "content").mapInPandas(gen, TF_SCHEMA)
 
@@ -111,42 +117,38 @@ class BuildConfig:
     stopwords: bool = False
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map: one (term, salt) group → one encoded sorted run."""
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0])
-    d = pdf["doc_id"].values.astype(np.int64)
-    t = pdf["tf"].values.astype(np.int64)
-    order = np.argsort(d, kind="stable")
-    return pd.DataFrame(
-        {"term": [term], "salt": [salt], "postings": [encode_postings(d[order], t[order])]}
-    )
+def _encode_pairs_udf():
+    """Series→Series Arrow UDF: (sorted doc_id array, tf array) → struct of
+    encoded postings + block-max metadata. Per-term work is pure numpy —
+    no per-group pandas machinery (applyInPandas costs ~ms per group; at
+    millions of terms that dominates the build)."""
+    from pyspark.sql.functions import pandas_udf
 
+    @pandas_udf("postings binary, bm_docs binary, bm_tfs binary")
+    def encode(doc_arrs: pd.Series, tf_arrs: pd.Series) -> pd.DataFrame:
+        post, bmd, bmt = [], [], []
+        for d, t in zip(doc_arrs.values, tf_arrs.values):
+            d = np.asarray(d, dtype=np.int64)
+            t = np.asarray(t, dtype=np.int64)
+            bm_d, bm_t = block_max_meta(d, t)
+            post.append(encode_postings(d, t))
+            bmd.append(varbyte_encode(bm_d.astype(np.uint64) + np.uint64(1 << 63)))
+            bmt.append(varbyte_encode(bm_t.astype(np.uint64)))
+        return pd.DataFrame({"postings": post, "bm_docs": bmd, "bm_tfs": bmt})
 
-def _merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map: merge the salted runs of one term into the final posting
-    list + block-max metadata."""
-    term = pdf["term"].iloc[0]
-    runs = [decode_postings(bytes(b)) for b in pdf["postings"].values]
-    if len(runs) == 1:
-        d, t = runs[0]
-    else:
-        d, t = merge_sorted_runs(runs)
-    bm_d, bm_t = block_max_meta(d, t)
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "df": [int(d.size)],
-            "max_tf": [int(t.max()) if t.size else 0],
-            "postings": [encode_postings(d, t)],
-            "bm_docs": [varbyte_encode((bm_d.astype(np.uint64) + np.uint64(1 << 63)))],
-            "bm_tfs": [varbyte_encode(bm_t.astype(np.uint64))],
-        }
-    )
+    return encode
 
 
 def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFrame:
-    """tf triples → compressed index with explicit hot-term salting."""
+    """tf triples → compressed index with explicit hot-term salting.
+
+    Shuffle/skew profile: stage 1 groups by (term, salt) so no single
+    reduce-side group exceeds ~docs_per_salt rows even for `def`/`import`
+    grade hot terms; stage 2 re-groups the (few, pre-aggregated) salted runs
+    per term — rows shuffled there = number of sub-runs, not postings. All
+    grouping/sorting is JVM hash-agg + array_sort; Python only encodes the
+    final arrays through one Arrow pass.
+    """
     df_per_term = tf_df.groupBy("term").agg(F.count("*").alias("df"))
     hot = (
         df_per_term.filter(F.col("df") > cfg.hot_df_threshold)
@@ -169,8 +171,29 @@ def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFr
         )
         .drop("n_salts")
     )
-    runs = salted.groupBy("term", "salt").applyInPandas(_encode_group, _RUN_SCHEMA)
-    return runs.groupBy("term").applyInPandas(_merge_term, INDEX_SCHEMA)
+    runs = salted.groupBy("term", "salt").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("pairs")
+    )
+    merged = (
+        runs.groupBy("term")
+        .agg(F.array_sort(F.flatten(F.collect_list("pairs"))).alias("pairs"))
+        .select(
+            "term",
+            F.size("pairs").alias("df"),
+            F.array_max(F.col("pairs").getField("tf")).alias("max_tf"),
+            F.col("pairs").getField("doc_id").alias("_docs"),
+            F.col("pairs").getField("tf").alias("_tfs"),
+        )
+    )
+    enc = _encode_pairs_udf()
+    return merged.withColumn("_enc", enc(F.col("_docs"), F.col("_tfs"))).select(
+        "term",
+        "df",
+        "max_tf",
+        F.col("_enc.postings").alias("postings"),
+        F.col("_enc.bm_docs").alias("bm_docs"),
+        F.col("_enc.bm_tfs").alias("bm_tfs"),
+    )
 
 
 def build_index(
