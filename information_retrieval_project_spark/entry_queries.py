@@ -978,6 +978,28 @@ def q_bm25_topk_compressed(spark, sf_dir):
     return out.select("rank", "doc_id", F.round("score", 5).alias("score"))
 
 
+def q_bm25_topk_sharded(spark, sf_dir):
+    """BM25 top-10 via the document-sharded per-shard WAND serving path
+    (queryexec/sharded.py) — oracle is the same SQL BM25: proves the
+    sharded kernel + global-idf + top-k merge end-to-end."""
+    from .index.build import collection_stats, doc_stats, tokenize_tf
+    from .queryexec.sharded import (
+        bm25_topk_sharded,
+        build_sharded_index,
+        shard_doc_stats,
+    )
+
+    tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_sharded_index(tf, n_shards=8)
+    sds = shard_doc_stats(ds, n_shards=8)
+    out = bm25_topk_sharded(
+        spark, idx, sds, cs["n_docs"], cs["avgdl"], BM25_QUERY, k=10
+    )
+    return out.select("rank", "doc_id", F.round("score", 5).alias("score"))
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """SimHash64 per doc (rows-only: bit-vote fingerprint is not ANSI-SQL)."""
     from .dedup.dedup import simhash64
@@ -1108,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessionize": q_event_sessionize,
     "compressed_term_df": q_compressed_term_df,
     "bm25_topk_compressed": q_bm25_topk_compressed,
+    "bm25_topk_sharded": q_bm25_topk_sharded,
     "simhash_fingerprints": q_simhash_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lang_id": q_lang_id,
@@ -1146,6 +1169,7 @@ ORACLE_SQL: dict[str, str] = {
     "event_sessionize": SQL_EVENT_SESSIONIZE,
     "compressed_term_df": SQL_TERM_DF,
     "bm25_topk_compressed": SQL_BM25_TOPK,
+    "bm25_topk_sharded": SQL_BM25_TOPK,
     "token_counts": SQL_TOKEN_COUNTS,
     "jm_smoothing": SQL_JM_SMOOTHING,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle

@@ -46,16 +46,18 @@ def wand_topk(
     block_max_tf: dict[str, np.ndarray] | None = None,
     k1: float = K1,
     b: float = B,
+    idf_override: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k via block-max WAND. postings: term → (sorted doc_ids, tfs).
 
     Returns [(doc_id, score)] sorted by (score desc, doc_id asc). Exact:
     pruning only skips docs provably below the entry threshold.
-    """
+    idf_override supplies GLOBAL idf when postings are one shard of a
+    document-sharded index (queryexec/sharded.py)."""
     terms = [t for t in postings if postings[t][0].size > 0]
     if not terms:
         return []
-    idf = {t: bm25_idf(n_docs, postings[t][0].size) for t in terms}
+    idf = idf_override or {t: bm25_idf(n_docs, postings[t][0].size) for t in terms}
     # per-term upper bound on the tf component is (k1+1) when tf→∞; tighter:
     # use max tf with the *minimum* length normalizer (dl→0 ⇒ denom tf+k1(1-b))
     ub = {}
