@@ -952,7 +952,7 @@ def q_compressed_term_df(spark, sf_dir):
     from .index.build import BuildConfig, build_postings, tokenize_tf
 
     tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
-    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200))
+    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0))
     return idx.select("term", "df")
 
 
@@ -971,7 +971,7 @@ def q_bm25_topk_compressed(spark, sf_dir):
     tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
     ds = doc_stats(tf).cache()
     cs = collection_stats(ds).collect()[0]
-    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200))
+    idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0))
     out = bm25_topk_compressed(
         spark, idx, ds, cs["n_docs"], cs["avgdl"], BM25_QUERY, k=10
     )

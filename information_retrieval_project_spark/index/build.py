@@ -67,29 +67,58 @@ def tokenize_tf(
 ) -> DataFrame:
     """(doc_id, content) → (doc_id, term, tf), tf finished inside the batch.
 
-    Vectorized Arrow tokenize+count, chosen on measurement: pandas' C-level
-    str.findall + groupby beats the native explode+groupBy plan ~7x (2.5 s vs
-    17.5 s for 50k docs at local[8] — Java regex + 16M-row explosion through
-    codegen loses to Arrow batch processing; numbers in BENCH notes). The
-    (doc_id, term) reduction also finishes inside the batch, so the only
+    Default path is mapInArrow over pure Arrow C++ kernels
+    (utf8_lower → split_pattern_regex → list_flatten/list_parent_indices →
+    Acero hash group_by): no Python objects in the loop at all. Measured
+    ladder at 600k docs, local[8] (BENCH notes): native explode+groupBy
+    ≈ slowest (Java regex + 100M-row explosion), pandas str.findall 16.0 s,
+    Arrow kernels 5.96 s — and the Arrow path strong-scales at ~0.76/stage
+    where the pandas path was memory-bandwidth bound at ~0.45. The
+    (doc_id, term) reduction finishes inside the batch, so the only
     downstream shuffles are the slim tf triples.
 
     Parity mode (stem/stopwords — the reference-shaped pipeline,
-    data_manager.py:74-88) additionally runs the frozen Python normalizer;
-    it shares code with the oracle by construction.
+    data_manager.py:74-88) runs the frozen Python normalizer in a pandas
+    pass instead; it shares code with the oracle by construction.
     """
+    if not stem and not stopwords:
+        split_pat = _SPLIT_PATTERNS[strategy]
+
+        def gen_arrow(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # Spark owns parallelism: one Arrow CPU thread per task worker.
+            # Arrow's default pool is os.cpu_count() wide, so every task
+            # would otherwise fan out machine-wide — oversubscribing the
+            # executor and silently breaking task-level scaling measurements.
+            pa.set_cpu_count(1)
+
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                low = pc.utf8_lower(tbl["content"].combine_chunks())
+                toks = pc.split_pattern_regex(low, split_pat)
+                flat = pc.list_flatten(toks)
+                parents = pc.list_parent_indices(toks)
+                doc_ids = pc.take(tbl["doc_id"].combine_chunks(), parents)
+                t = pa.table({"doc_id": doc_ids, "term": flat})
+                t = t.filter(pc.not_equal(t["term"], ""))
+                agg = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+                yield from agg.rename_columns(["doc_id", "term", "tf"]).to_batches()
+
+        return corpus_with_id.select("doc_id", "content").mapInArrow(
+            gen_arrow, TF_SCHEMA
+        )
+
     from ..functions.textnorm import _TOKEN_PATTERNS, clean_normalize
 
     pat = _TOKEN_PATTERNS[strategy]
-    parity = stem or stopwords
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = pdf["content"]
-            if parity:
-                texts = texts.map(
-                    lambda t: clean_normalize(t, stem=stem, stopwords=stopwords)
-                )
+            texts = pdf["content"].map(
+                lambda t: clean_normalize(t, stem=stem, stopwords=stopwords)
+            )
             tok_lists = texts.str.lower().str.findall(pat)
             lens = tok_lists.str.len().to_numpy(dtype=np.int64)
             if lens.sum() == 0:
@@ -124,6 +153,11 @@ def collection_stats(doc_stats_df: DataFrame) -> DataFrame:
 class BuildConfig:
     hot_df_threshold: int = 100_000   # postings longer than this get salted
     docs_per_salt: int = 50_000       # target run length per salted sub-group
+    # heavy-hitter detection runs on a sample (classic sketch-style
+    # detection): a term missed near the threshold just takes the 1-salt
+    # path — salting is a memory-bound mechanism, never a correctness one,
+    # and the sampled pass is ~1/sample_rate cheaper than a full df agg.
+    hot_detection_sample: float = 0.02
     strategy: str = "code"
     stem: bool = False
     stopwords: bool = False
@@ -161,9 +195,17 @@ def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFr
     grouping/sorting is JVM hash-agg + array_sort; Python only encodes the
     final arrays through one Arrow pass.
     """
-    df_per_term = tf_df.groupBy("term").agg(F.count("*").alias("df"))
+    sample = cfg.hot_detection_sample
+    if 0 < sample < 1:
+        df_est = (
+            tf_df.sample(fraction=sample, seed=42)
+            .groupBy("term")
+            .agg((F.count("*") / sample).alias("df"))
+        )
+    else:
+        df_est = tf_df.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     hot = (
-        df_per_term.filter(F.col("df") > cfg.hot_df_threshold)
+        df_est.filter(F.col("df") > cfg.hot_df_threshold)
         .withColumn(
             "n_salts",
             F.greatest(

@@ -42,7 +42,7 @@ def built(spark):
     tf_df = tokenize_tf(ids).cache()
     ds = doc_stats(tf_df).cache()
     cs = collection_stats(ds).collect()[0]
-    idx = build_postings(tf_df, BuildConfig(hot_df_threshold=50, docs_per_salt=100))
+    idx = build_postings(tf_df, BuildConfig(hot_df_threshold=50, docs_per_salt=100, hot_detection_sample=1.0))
     pdf = generate_pdf(N_DOCS)
     # oracle-side corpus dict keyed by the SAME xxhash64 doc_id computed by Spark
     id_map = {

@@ -14,7 +14,7 @@ from information_retrieval_project_spark.pipelines.lineage import (
     resumable_build,
 )
 
-CFG = BuildConfig(hot_df_threshold=50, docs_per_salt=100)
+CFG = BuildConfig(hot_df_threshold=50, docs_per_salt=100, hot_detection_sample=1.0)
 
 
 def _index_as_dict(spark, path):
