@@ -1055,7 +1055,7 @@ def q_jm_smoothing(spark, sf_dir):
     return out.select("doc_id", F.round("log_score", 5).alias("log_score"))
 
 
-SQL_JM_SMOOTHING = """
+_JM_SQL_TMPL = """
     WITH toks AS (
         SELECT doc_id,
                ['#S'] || list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
@@ -1088,10 +1088,140 @@ SQL_JM_SMOOTHING = """
         LEFT JOIN cmarg ON cmarg.a = q.a
     )
     SELECT doc_id,
-           round(sum(ln(CASE WHEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) > 0
-                             THEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) END)), 5)
-               AS log_score
+           sum(ln(CASE WHEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) > 0
+                       THEN 0.5 * coalesce(p_doc, 0) + 0.5 * coalesce(p_coll, 0) END))
+               AS log_score_raw
     FROM cells GROUP BY doc_id
+"""
+
+SQL_JM_SMOOTHING = f"""
+    SELECT doc_id, round(log_score_raw, 5) AS log_score FROM ({_JM_SQL_TMPL})
+"""
+
+
+def q_custkeys_intersect(spark, sf_dir):
+    """Relational INTERSECT (SURVEY.md §2.7): custkeys present in both
+    orders and customer."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c)
+
+
+SQL_CUSTKEYS_INTERSECT = """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer
+"""
+
+
+def q_custkeys_except(spark, sf_dir):
+    """Relational EXCEPT: customer keys with no orders."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct())
+
+
+SQL_CUSTKEYS_EXCEPT = """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def q_json_extract_events(spark, sf_dir):
+    """JSON field extraction (SURVEY.md F11, reference USDA response parse
+    data_manager.py:276-278): props.k per event, summed per user."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("user_id")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+SQL_JSON_EXTRACT_EVENTS = """
+    SELECT user_id, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY user_id
+"""
+
+
+def q_orders_by_month(spark, sf_dir):
+    """Temporal grouping: monthly order counts + revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders GROUP BY 1
+"""
+
+
+def q_target_doc_threshold(spark, sf_dir):
+    """The reference's threshold = score of the target document in the
+    ranking (data_manager.py:129-130, main.py:41-43 → SURVEY.md W2):
+    target = doc_id 38, plus its rank among all scored docs."""
+    s = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = s.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("doc_id") == 38).select(
+        "doc_id", F.round("score", 5).alias("threshold"), "rank"
+    )
+
+
+SQL_TARGET_DOC_THRESHOLD = (
+    _bm25_sql(BM25_QUERY, with_topk=False).replace(
+        "SELECT doc_id, round(score, 5) AS score FROM scored",
+        """SELECT doc_id, round(score, 5) AS threshold,
+                  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored QUALIFY doc_id = 38""",
+    )
+)
+
+
+def q_top_doc_per_lang(spark, sf_dir):
+    """Per-group top-1 with deterministic tie-break (SURVEY.md T3 min/max
+    selection): longest doc per language."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+SQL_TOP_DOC_PER_LANG = """
+    SELECT lang, doc_id, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) = 1
+"""
+
+
+def q_perplexity(spark, sf_dir):
+    """Perplexity of the λ=0.5 JM model per doc (reference
+    (1/score)^(1/len(q)), data_manager.py:528 → SURVEY.md L5): query length
+    = 3 bigrams (sentinel-wrapped 2-term query)."""
+    from .lm.language_models import jelinek_mercer_scores, skipgram_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sg = skipgram_pairs(d, s=1)
+    jm = jelinek_mercer_scores(spark, sg, LM_QUERY, lambdas=[0.5])
+    return jm.select(
+        "doc_id", F.round(F.exp(-F.col("log_score") / 3.0), 5).alias("perplexity")
+    )
+
+
+SQL_PERPLEXITY = f"""
+    SELECT doc_id, round(exp(-log_score_raw / 3.0), 5) AS perplexity
+    FROM ({_JM_SQL_TMPL})
 """
 
 
@@ -1136,6 +1266,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
+    "custkeys_intersect": q_custkeys_intersect,
+    "custkeys_except": q_custkeys_except,
+    "json_extract_events": q_json_extract_events,
+    "orders_by_month": q_orders_by_month,
+    "target_doc_threshold": q_target_doc_threshold,
+    "top_doc_per_lang": q_top_doc_per_lang,
+    "perplexity": q_perplexity,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1172,6 +1309,13 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_sharded": SQL_BM25_TOPK,
     "token_counts": SQL_TOKEN_COUNTS,
     "jm_smoothing": SQL_JM_SMOOTHING,
+    "custkeys_intersect": SQL_CUSTKEYS_INTERSECT,
+    "custkeys_except": SQL_CUSTKEYS_EXCEPT,
+    "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "target_doc_threshold": SQL_TARGET_DOC_THRESHOLD,
+    "top_doc_per_lang": SQL_TOP_DOC_PER_LANG,
+    "perplexity": SQL_PERPLEXITY,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
