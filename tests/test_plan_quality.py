@@ -1,0 +1,55 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md §4.2 relies on
+must actually appear in the plans (pushdown, pruning, broadcast joins,
+TakeOrderedAndProject) — catching a regression where Catalyst silently falls
+back to a scan-everything / shuffle-everything plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_project_spark import entry_queries as EQ
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    p = plan(d)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: text must NOT be read
+    read_schema = p.split("ReadSchema", 1)[1][:200]
+    assert "text" not in read_schema
+
+
+def test_bm25_uses_broadcast_and_takeordered(spark, sf_dir):
+    p = plan(EQ.q_bm25_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in p          # query terms joined broadcast
+    assert "TakeOrderedAndProject" in p      # top-k, not global sort
+
+
+def test_semi_and_anti_join_strategies(spark, sf_dir):
+    ps = plan(EQ.q_semi_join_customers(spark, sf_dir))
+    pa = plan(EQ.q_anti_join_customers(spark, sf_dir))
+    assert "LeftSemi" in ps
+    assert "LeftAnti" in pa
+
+
+def test_aggregate_is_hash_partial_final(spark, sf_dir):
+    p = plan(EQ.q_pricing_summary(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2     # partial + final
+    assert "SortAggregate" not in p
+
+
+def test_native_path_vectorized_scan_and_hash_agg(spark, sf_dir):
+    # AQE hides WholeStageCodegen ids pre-execution; assert the vectorized
+    # reader + hash aggregation instead (the codegen-eligible shape)
+    p = plan(EQ.q_token_stats(spark, sf_dir))
+    assert "Batched: true" in p
+    assert "HashAggregate" in p and "SortAggregate" not in p
