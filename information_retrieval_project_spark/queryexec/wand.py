@@ -47,6 +47,7 @@ def wand_topk(
     k1: float = K1,
     b: float = B,
     idf_override: dict[str, float] | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k via block-max WAND. postings: term → (sorted doc_ids, tfs).
 
@@ -81,6 +82,7 @@ def wand_topk(
     cursors = {t: 0 for t in terms}  # index into postings[t]
     heap: list[tuple[float, int]] = []  # (score, -?) min-heap of top-k
     INF = np.iinfo(np.int64).max
+    n_scored = n_block_skips = 0
 
     def cur_doc(t):
         c = cursors[t]
@@ -125,11 +127,13 @@ def wand_topk(
                 active.append(t)
             if len(heap) >= k and block_bound <= heap[0][0] + 1e-12:
                 # skip: advance the lowest cursor past pivot_doc
+                n_block_skips += 1
                 t0 = order[0]
                 d0 = postings[t0][0]
                 cursors[t0] = int(np.searchsorted(d0, pivot_doc + 1))
                 continue
             # fully score pivot_doc
+            n_scored += 1
             dl = doc_len.get(pivot_doc, avgdl)
             s = 0.0
             for t in active:
@@ -150,6 +154,10 @@ def wand_topk(
                     break
                 d = postings[t][0]
                 cursors[t] = int(np.searchsorted(d, pivot_doc))
+    if stats is not None:
+        stats["n_scored"] = n_scored
+        stats["n_block_skips"] = n_block_skips
+        stats["n_candidates"] = int(sum(postings[t][0].size for t in terms))
     out = sorted(heap, key=lambda x: (-x[0], -x[1]))
     return [(-nd, s) for s, nd in out]
 

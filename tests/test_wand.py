@@ -51,3 +51,26 @@ def test_wand_empty_and_missing_terms():
     assert wand_topk({}, {}, 10, 5.0, 5) == []
     postings = {"t": (np.array([], dtype=np.int64), np.array([], dtype=np.int64))}
     assert wand_topk(postings, {}, 10, 5.0, 5) == []
+
+
+def test_wand_actually_prunes_on_skewed_postings():
+    """On a skewed corpus (one selective high-idf term + one huge common
+    term) WAND must skip scoring most candidates — the whole point of the
+    pruning. Exactness is asserted alongside."""
+    rng = np.random.default_rng(99)
+    n_docs = 50_000
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+    doc_len = {int(d): int(rng.integers(50, 200)) for d in doc_ids}
+    avgdl = float(np.mean(list(doc_len.values())))
+    common = (doc_ids, rng.integers(1, 3, size=n_docs).astype(np.int64))
+    rare_ids = np.sort(rng.choice(doc_ids, size=200, replace=False))
+    rare = (rare_ids.astype(np.int64), rng.integers(5, 20, size=200).astype(np.int64))
+    postings = {"common": common, "rare": rare}
+    stats = {}
+    got = wand_topk(postings, doc_len, n_docs, avgdl, k=10, stats=stats)
+    want = exhaustive_topk(postings, doc_len, n_docs, avgdl, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # pivot-based pruning must skip the vast majority of candidates
+    # (block-max refinement only fires with 3+ near-threshold terms, so
+    # n_block_skips may legitimately be 0 here)
+    assert stats["n_scored"] < stats["n_candidates"] * 0.1, stats
