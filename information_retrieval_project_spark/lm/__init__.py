@@ -7,4 +7,5 @@ from .language_models import (  # noqa: F401
     perplexity,
     skipgram_pairs,
 )
+from .decomposition import pca_2d, ppmi_svd_factors, svd_cosine_topk  # noqa: F401
 from .expansion import ppmi_triples, query_expansion, top_cooccurring  # noqa: F401
