@@ -1225,6 +1225,62 @@ SQL_PERPLEXITY = f"""
 """
 
 
+def q_tf_pairs_ws(spark, sf_dir):
+    """F2 strategy switch: the 'keras' whitespace tokenizer
+    (tokenizers.py:42 → text_to_word_sequence) as a native plan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+SQL_TF_PAIRS_WS = """
+    SELECT doc_id, term, count(*) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY doc_id, term
+"""
+
+
+def q_query_term_overlap(spark, sf_dir):
+    """SO2/F14: per-doc overlap of its distinct term set with the fixed query
+    term set via array_intersect, plus the binary relevance label
+    (reference getCatCorrispondece, data_manager.py:215-229)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9_]+"), lambda x: x != "")
+    )
+    qarr = F.array(*[F.lit(t) for t in sorted(set(BM25_QUERY))])
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_intersect(toks, qarr)).alias("n_common"),
+        (F.size(F.array_intersect(toks, qarr)) > 0).cast("int").alias("rel"),
+    )
+
+
+SQL_QUERY_TERM_OVERLAP = """
+    SELECT doc_id,
+           len(list_intersect(toks, ['join', 'spark', 'window'])) AS n_common,
+           CASE WHEN len(list_intersect(toks, ['join', 'spark', 'window'])) > 0
+                THEN 1 ELSE 0 END AS rel
+    FROM (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1273,6 +1329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_doc_threshold": q_target_doc_threshold,
     "top_doc_per_lang": q_top_doc_per_lang,
     "perplexity": q_perplexity,
+    "tf_pairs_ws": q_tf_pairs_ws,
+    "query_term_overlap": q_query_term_overlap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1316,6 +1374,8 @@ ORACLE_SQL: dict[str, str] = {
     "target_doc_threshold": SQL_TARGET_DOC_THRESHOLD,
     "top_doc_per_lang": SQL_TOP_DOC_PER_LANG,
     "perplexity": SQL_PERPLEXITY,
+    "tf_pairs_ws": SQL_TF_PAIRS_WS,
+    "query_term_overlap": SQL_QUERY_TERM_OVERLAP,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
