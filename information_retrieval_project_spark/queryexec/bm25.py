@@ -93,3 +93,52 @@ def bm25_topk(
 ) -> DataFrame:
     terms = query_terms_df(spark, query_tokens)
     return topk(bm25_scores(tf_df, doc_stats_df, n_docs, avgdl, terms), k)
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    tf_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a whole query SET in one plan → (query_id, rank, doc_id, score).
+
+    The scalable form of query-set evaluation (a per-query driver loop runs
+    |Q| jobs; this runs one): broadcast the (query_id, term) relation, join
+    once, aggregate per (query_id, doc_id), rank with a window partitioned
+    by query_id. df/idf stay per-term GLOBAL quantities shared by all
+    queries — they are computed once from the candidate rows of the union of
+    query terms, not per query."""
+    pairs = sorted({(qid, t) for qid, toks in queries.items() for t in set(toks)})
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    uniq_terms = qdf.select("term").distinct()
+    cand = tf_df.join(F.broadcast(uniq_terms), "term")
+    dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfq.withColumn(
+        "idf",
+        F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    ).select("term", "idf")
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .join(doc_stats_df, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))),
+        )
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
