@@ -1281,6 +1281,70 @@ SQL_QUERY_TERM_OVERLAP = """
 """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Session windows by 30-min inactivity gap — the batch form of the
+    stateful streaming operator (streaming/stateful.py; same semantics the
+    applyInPandasWithState path is tested against)."""
+    from .streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_EVENT_SESSIONS = """
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    """Tumbling 1-day event-time windows (streaming/incremental
+    windowed_event_counts — identical batch semantics)."""
+    from .streaming.incremental import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_event_counts(ev, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_EVENT_WINDOWS = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1331,6 +1395,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity": q_perplexity,
     "tf_pairs_ws": q_tf_pairs_ws,
     "query_term_overlap": q_query_term_overlap,
+    "event_sessions": q_event_sessions,
+    "event_windows": q_event_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1376,6 +1442,8 @@ ORACLE_SQL: dict[str, str] = {
     "perplexity": SQL_PERPLEXITY,
     "tf_pairs_ws": SQL_TF_PAIRS_WS,
     "query_term_overlap": SQL_QUERY_TERM_OVERLAP,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "event_windows": SQL_EVENT_WINDOWS,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
