@@ -128,8 +128,12 @@ SQL_COLLECTION_STATS = f"""
 
 
 def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
-    """Candidate-doc BM25 scores, fully native column math (SURVEY.md §3.1)."""
-    tf = _tf(spark, sf_dir)
+    """Candidate-doc BM25 scores, fully native column math (SURVEY.md §3.1).
+
+    tf is persisted: four branches (doc_stats, stats, candidate join, df)
+    would otherwise each re-tokenize the corpus — the ad-hoc-query analogue
+    of the build's tf materialization (index/build.build_index)."""
+    tf = _tf(spark, sf_dir).persist()
     ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     stats = ds.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
@@ -213,7 +217,7 @@ SQL_BM25_TOPK = _bm25_sql(BM25_QUERY, with_topk=True)
 def q_tfidf_cosine(spark, sf_dir):
     """sklearn-form TF-IDF cosine vs the fixed query (SURVEY.md F3/F4)."""
     terms = sorted(set(BM25_QUERY))
-    tf = _tf(spark, sf_dir)
+    tf = _tf(spark, sf_dir).persist()
     n_docs_df = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (
