@@ -38,6 +38,12 @@ HEADLINE = [
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from information_retrieval_project_spark import entry_queries as EQ
 
+    # session warmup: JIT/codegen compile, parquet footers, AQE machinery —
+    # otherwise the first query's time is ~10 s of JVM startup, not the query
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    EQ.q_term_df(spark, sf_dir).count()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
