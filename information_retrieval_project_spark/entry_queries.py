@@ -1349,6 +1349,111 @@ SQL_EVENT_WINDOWS = """
 """
 
 
+def q_lang_id_sql(spark, sf_dir):
+    """Marker-count language ID, fully relational (so the DuckDB oracle can
+    check it, unlike the array-comparator variant in textstats): doc × lang
+    grid left-joined with marker hits, argmax with (cnt DESC, lang ASC)
+    tie-break via row_number."""
+    from .textstats.textstats import LANG_MARKERS
+
+    markers = [(lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms]
+    mdf = spark.createDataFrame(markers, "mlang string, marker string")
+    toks = _tokens(spark, sf_dir)
+    hits = (
+        toks.join(F.broadcast(mdf), toks.term == mdf.marker)
+        .groupBy("doc_id", "mlang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    langs = mdf.select("mlang").distinct()
+    grid = docs.crossJoin(F.broadcast(langs))
+    scored = grid.join(hits, ["doc_id", "mlang"], "left").na.fill({"cnt": 0})
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("mlang"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("mlang").alias("pred_lang"), F.col("cnt").alias("hits"))
+    )
+
+
+def _lang_markers_values() -> str:
+    from .textstats.textstats import LANG_MARKERS
+
+    return ", ".join(
+        f"('{lang}', '{m}')"
+        for lang, ms in sorted(LANG_MARKERS.items())
+        for m in ms
+    )
+
+
+SQL_LANG_ID_SQL = f"""
+    WITH markers(mlang, marker) AS (VALUES {_lang_markers_values()}),
+    hits AS (
+        SELECT t.doc_id, m.mlang, count(*) AS cnt
+        FROM ({_TOKENS_SQL}) t JOIN markers m ON t.term = m.marker
+        GROUP BY t.doc_id, m.mlang
+    ),
+    grid AS (
+        SELECT d.doc_id, l.mlang
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN (SELECT DISTINCT mlang FROM markers) l
+    )
+    SELECT doc_id, mlang AS pred_lang, coalesce(cnt, 0) AS hits
+    FROM grid LEFT JOIN hits USING (doc_id, mlang)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY coalesce(cnt, 0) DESC, mlang ASC) = 1
+"""
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash as PURE column math so DuckDB can verify the bit-vote
+    semantics (the 64-bit production variant in dedup/ uses an Arrow UDF and
+    stays rows-only): per distinct term, bits come from the first 4 hex
+    digits of md5(term); votes are ±1 per doc-term; fingerprint bit j = sign
+    of the vote sum."""
+    toks = _tokens(spark, sf_dir).distinct()
+    h = F.md5(F.col("term"))
+    # one vote column per bit (16 small expressions, all codegen)
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(
+                    F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int"),
+                    3 - (j % 4),
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = F.lit(0)
+    for j in range(16):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select("doc_id", fp.alias("simhash16"))
+
+
+def _simhash16_sql() -> str:
+    votes = ", ".join(
+        f"""sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(term), {j // 4 + 1}, 1)) - 1)
+                      // {1 << (3 - j % 4)} % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"""
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH agg AS (
+        SELECT doc_id, {votes}
+        FROM (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL}))
+        GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash16 FROM agg
+    """
+
+
+SQL_SIMHASH16 = _simhash16_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1401,6 +1506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_term_overlap": q_query_term_overlap,
     "event_sessions": q_event_sessions,
     "event_windows": q_event_windows,
+    "lang_id_sql": q_lang_id_sql,
+    "simhash16": q_simhash16,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1448,6 +1555,8 @@ ORACLE_SQL: dict[str, str] = {
     "query_term_overlap": SQL_QUERY_TERM_OVERLAP,
     "event_sessions": SQL_EVENT_SESSIONS,
     "event_windows": SQL_EVENT_WINDOWS,
+    "lang_id_sql": SQL_LANG_ID_SQL,
+    "simhash16": SQL_SIMHASH16,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
