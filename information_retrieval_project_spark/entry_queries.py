@@ -1454,6 +1454,87 @@ def _simhash16_sql() -> str:
 SQL_SIMHASH16 = _simhash16_sql()
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filter + agg + deterministic top-k.
+    Catalyst picks broadcast for customer and reorders the joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+    WITH agg AS (
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+    )
+    SELECT row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rank,
+           o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, revenue
+    FROM agg ORDER BY revenue DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join rolled up by nation — exercises join
+    reordering + broadcast of the small dimension chain."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_VOLUME = """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1508,6 +1589,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_windows": q_event_windows,
     "lang_id_sql": q_lang_id_sql,
     "simhash16": q_simhash16,
+    "shipping_priority": q_shipping_priority,
+    "nation_volume": q_nation_volume,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1557,6 +1640,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_windows": SQL_EVENT_WINDOWS,
     "lang_id_sql": SQL_LANG_ID_SQL,
     "simhash16": SQL_SIMHASH16,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "nation_volume": SQL_NATION_VOLUME,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
