@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.codec import decode_postings, encode_postings, varbyte_decode
+from ..index.codec import decode_postings, varbyte_decode
 from .bm25 import B, K1, topk
 from .wand import wand_topk
 

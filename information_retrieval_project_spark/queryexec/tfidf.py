@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bm25 import query_terms_df, topk
+from .bm25 import topk
 
 
 def tfidf_weights(tf_df: DataFrame, n_docs: int) -> DataFrame:
