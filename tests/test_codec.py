@@ -72,3 +72,35 @@ def test_compression_ratio_on_dense_ids():
     blob = encode_postings(d, t)
     bytes_per_posting = len(blob) / d.size
     assert bytes_per_posting < 3.0, bytes_per_posting
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**40), max_value=2**40),
+                st.integers(min_value=1, max_value=100),
+            ),
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_merge_overlapping_runs_sums_tf(runs_raw):
+    """merge_sorted_runs over runs with OVERLAPPING doc ids (the resumed /
+    salted-rebuild case) must equal the dict-sum model."""
+    runs, model = [], {}
+    for pairs in runs_raw:
+        uniq = {}
+        for d, t in pairs:
+            uniq[d] = t
+        d = np.array(sorted(uniq), dtype=np.int64)
+        t = np.array([uniq[x] for x in sorted(uniq)], dtype=np.int64)
+        runs.append((d, t))
+        for x, y in uniq.items():
+            model[x] = model.get(x, 0) + y
+    md, mt = merge_sorted_runs(runs)
+    assert md.tolist() == sorted(model)
+    assert mt.tolist() == [model[x] for x in sorted(model)]
