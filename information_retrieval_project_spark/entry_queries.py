@@ -1023,6 +1023,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(bucketed, planes, [float(x) for x in qv], k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed cosine top-10 vs vec_id=0 (rows-only: the k-means
+    quantizer is engine-internal; exactness-at-full-nprobe is pytest-proven)."""
+    from .similarity.ann import ivf_assign, ivf_topk, ivf_train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cent = ivf_train_centroids(emb, n_centroids=8, iters=4)
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), cent)
+    return ivf_topk(assigned, cent, qv, k=10, nprobe=3)
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-heuristic language ID over documents (rows-only: argmax with
     comparator-lambda tie-break)."""
@@ -1591,6 +1603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash16": q_simhash16,
     "shipping_priority": q_shipping_priority,
     "nation_volume": q_nation_volume,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {

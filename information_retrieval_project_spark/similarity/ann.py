@@ -72,6 +72,71 @@ def rp_lsh_buckets(
     return emb.withColumn(bucket_col, bucket)
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: k-means on a DRIVER-SIDE sample (the
+    standard IVF recipe — the quantizer is tiny and trained on a sample even
+    at billion-vector scale; only ASSIGNMENT is distributed)."""
+    sample = emb.select(vec_col).limit(sample_rows).collect()
+    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+    bucket_col: str = "ivf_bucket",
+) -> DataFrame:
+    """Distributed assignment: bucket = argmin_c ||v - c||² expressed as the
+    native argmax of (2·v·c − ||c||²) over literal centroid arrays — pure
+    column math, no UDF, prunes like a partition column at scale."""
+    v = _as_double(F.col(vec_col))
+    entries = []
+    for ci, c in enumerate(centroids):
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        score = 2.0 * _dot(v, ccol) - float((c * c).sum())
+        entries.append(F.struct(score.alias("s"), F.lit(ci).alias("c")))
+    best = F.array_sort(
+        F.array(*entries),
+        lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1)
+        .when(a["c"] < b["c"], -1)
+        .otherwise(1),
+    )[0]
+    return emb.withColumn(bucket_col, best["c"])
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the nprobe nearest buckets."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d)[:nprobe].tolist()
+    cand = assigned.filter(F.col("ivf_bucket").isin([int(x) for x in probe]))
+    return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_bucketed_topk(
     emb_with_buckets: DataFrame,
     planes: np.ndarray,

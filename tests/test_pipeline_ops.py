@@ -165,3 +165,39 @@ def test_multimodal_stub_plumbing(spark):
     # the non-fake path must refuse loudly, not silently fake
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"xx", fake=False)
+
+
+def test_ivf_ann_recall_and_exactness_in_probed_buckets(spark):
+    import numpy as np
+    from information_retrieval_project_spark.similarity.ann import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    # clustered data so IVF has structure to find
+    centers = rng.standard_normal((4, 8)) * 5
+    vecs = np.vstack([c + rng.standard_normal((60, 8)) for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cent = ivf_train_centroids(df, n_centroids=4, iters=5)
+    assigned = ivf_assign(df, cent).cache()
+    # every vector gets exactly one bucket in range
+    rows = assigned.collect()
+    assert all(0 <= r["ivf_bucket"] < 4 for r in rows)
+    # query = an existing vector; its own bucket is always probed first
+    q = vecs[7].astype(np.float64)
+    got = ivf_topk(assigned, cent, q.tolist(), k=5, nprobe=2).collect()
+    assert got[0]["vec_id"] == 7
+    assert abs(got[0]["cosine"] - 1.0) < 1e-6
+    # with nprobe == n_centroids IVF == brute force exactly
+    from information_retrieval_project_spark.similarity.ann import (
+        brute_force_cosine_topk,
+    )
+
+    full = ivf_topk(assigned, cent, q.tolist(), k=10, nprobe=4).collect()
+    brute = brute_force_cosine_topk(df, q.tolist(), k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
