@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .codec import block_max_meta, encode_postings, varbyte_encode
@@ -158,6 +158,14 @@ class BuildConfig:
     # path — salting is a memory-bound mechanism, never a correctness one,
     # and the sampled pass is ~1/sample_rate cheaper than a full df agg.
     hot_detection_sample: float = 0.02
+    # segment_hot_terms=True keeps each salted run as its OWN index row
+    # (term, segment, postings) instead of merging to one row per term —
+    # bounding every Arrow row/array by docs_per_salt. Required at true
+    # 10^12-file scale where one hot term's full posting list cannot live in
+    # a single row; df on every segment row is the TERM-TOTAL df so idf is
+    # computable from any segment. Query paths sum per-doc contributions
+    # across segments (each doc lives in exactly one segment).
+    segment_hot_terms: bool = False
     strategy: str = "code"
     stem: bool = False
     stopwords: bool = False
@@ -228,6 +236,28 @@ def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFr
     runs = salted.groupBy("term", "salt").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("pairs")
     )
+    enc = _encode_pairs_udf()
+    if cfg.segment_hot_terms:
+        # one index row per (term, segment): every array bounded by
+        # ~docs_per_salt; df = term total via a window sum over segments
+        w = Window.partitionBy("term")
+        seg = runs.select(
+            "term",
+            F.col("salt").alias("segment"),
+            F.size("pairs").alias("seg_df"),
+            F.array_max(F.col("pairs").getField("tf")).alias("max_tf"),
+            F.col("pairs").getField("doc_id").alias("_docs"),
+            F.col("pairs").getField("tf").alias("_tfs"),
+        ).withColumn("df", F.sum("seg_df").over(w))
+        return seg.withColumn("_enc", enc(F.col("_docs"), F.col("_tfs"))).select(
+            "term",
+            "segment",
+            "df",
+            "max_tf",
+            F.col("_enc.postings").alias("postings"),
+            F.col("_enc.bm_docs").alias("bm_docs"),
+            F.col("_enc.bm_tfs").alias("bm_tfs"),
+        )
     merged = (
         runs.groupBy("term")
         .agg(F.array_sort(F.flatten(F.collect_list("pairs"))).alias("pairs"))
@@ -239,7 +269,6 @@ def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFr
             F.col("pairs").getField("tf").alias("_tfs"),
         )
     )
-    enc = _encode_pairs_udf()
     return merged.withColumn("_enc", enc(F.col("_docs"), F.col("_tfs"))).select(
         "term",
         "df",

@@ -210,7 +210,9 @@ def bm25_topk_compressed(
         bvals = [r["tb"] for r in buckets.select("tb").distinct().collect()]
         cond = cond & F.col("term_bucket").isin(bvals)
     rows = index_df.filter(cond)
-    idf = rows.select(
+    # distinct: a segmented index (BuildConfig.segment_hot_terms) carries one
+    # row per (term, segment) with the SAME term-total df on each
+    idf = rows.select("term", "df").distinct().select(
         "term",
         F.log(
             1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)

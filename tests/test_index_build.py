@@ -147,3 +147,37 @@ def test_tfidf_cosine_rank_identical_to_oracle(spark, built):
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert abs(r["score"] - s) < 1e-9
+
+
+def test_segmented_hot_terms_rank_identical(spark, built):
+    """segment_hot_terms=True (Arrow-row memory bound for 10^12-scale hot
+    terms) must produce identical df totals and identical BM25 results
+    through the compressed query path."""
+    from information_retrieval_project_spark.functions.textnorm import normalize_tokenize
+
+    _, tf_df, ds, cs, idx_merged, _ = built
+    seg_idx = build_postings(
+        tf_df,
+        BuildConfig(
+            hot_df_threshold=50, docs_per_salt=100, hot_detection_sample=1.0,
+            segment_hot_terms=True,
+        ),
+    ).cache()
+    # hot terms really are segmented
+    seg_counts = {
+        r["term"]: r["n"] for r in
+        seg_idx.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    assert any(n > 1 for n in seg_counts.values())
+    # df on every segment row equals the merged index's term df
+    want_df = {r["term"]: r["df"] for r in idx_merged.select("term", "df").collect()}
+    for r in seg_idx.select("term", "df").distinct().collect():
+        assert want_df[r["term"]] == r["df"], r["term"]
+    # compressed-path scoring identical to the merged index
+    for query in QUERIES[:3]:
+        toks = normalize_tokenize(query)
+        a = bm25_topk_compressed(spark, idx_merged, ds, cs["n_docs"], cs["avgdl"], toks, k=10).collect()
+        b = bm25_topk_compressed(spark, seg_idx, ds, cs["n_docs"], cs["avgdl"], toks, k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ], query
