@@ -35,9 +35,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     import __spark_entry__ as E
-    from information_retrieval_project_spark.session import get_spark
 
-    spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("CONTRACT_VANILLA") == "1":
+        # driver-session independence check: plain builder, default configs
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("contract-vanilla").master(
+            "local[8]"
+        ).getOrCreate()
+    else:
+        from information_retrieval_project_spark.session import get_spark
+
+        spark = get_spark("contract-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
