@@ -1361,6 +1361,28 @@ SQL_EVENT_WINDOWS = """
 """
 
 
+def q_kmv_sketch(spark, sf_dir):
+    """KMV distinct-count sketch STATE over document shingles: the 64
+    smallest unit-hashes — an exactly-checkable sketch relation
+    (textstats/sketches.py; estimate = (k−1)/h_(k))."""
+    from .textstats.sketches import kmv_state
+
+    sh = _shingles(spark, sf_dir)
+    st = kmv_state(sh, "shingle", k=64)
+    return st.select("rk", F.round("h", 12).alias("h"))
+
+
+SQL_KMV_SKETCH = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashes AS (
+        SELECT CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) / 281474976710656.0 AS h
+        FROM (SELECT DISTINCT shingle FROM sh)
+    )
+    SELECT row_number() OVER (ORDER BY h) AS rk, round(h, 12) AS h
+    FROM hashes ORDER BY h LIMIT 64
+"""
+
+
 def q_lang_id_sql(spark, sf_dir):
     """Marker-count language ID, fully relational (so the DuckDB oracle can
     check it, unlike the array-comparator variant in textstats): doc × lang
@@ -1604,6 +1626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "nation_volume": q_nation_volume,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "kmv_sketch": q_kmv_sketch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1655,6 +1678,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,
+    "kmv_sketch": SQL_KMV_SKETCH,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }

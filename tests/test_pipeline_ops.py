@@ -220,3 +220,19 @@ def test_salted_join_equals_plain_join(spark):
     fact2 = fact.union(spark.createDataFrame([(99, 0)], "k long, payload long"))
     g2 = salted_join(fact2, dim, "k", n_salts=4, how="left")
     assert g2.filter("k = 99").count() == 1
+
+
+def test_kmv_estimate_accuracy(spark):
+    from information_retrieval_project_spark.textstats.sketches import (
+        kmv_estimate,
+        kmv_state,
+    )
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("item_"), F.col("id")).alias("v"))
+    st = kmv_state(df, "v", k=256)
+    est = kmv_estimate(st, k=256)
+    assert abs(est - n) / n < 0.2  # KMV stderr ~ 1/sqrt(k) ≈ 6%
+    # fewer than k distinct → exact
+    small = spark.range(40).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    assert kmv_estimate(kmv_state(small, "v", k=64), k=64) == 40.0
