@@ -1361,6 +1361,48 @@ SQL_EVENT_WINDOWS = """
 """
 
 
+def q_top_cooccurring(spark, sf_dir):
+    """Top-3 co-occurring terms per query token by bigram PPMI with
+    deterministic tie-break — the reference's expansion-candidate selection
+    (data_manager.py:686-699 → SURVEY.md W6), via lm/expansion."""
+    from .lm.expansion import ppmi_triples, top_cooccurring
+
+    p = _positions(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        p.withColumn("b", F.lead("term", 1).over(w))
+        .filter(F.col("b").isNotNull())
+        .groupBy(F.col("term").alias("a"), "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = top_cooccurring(ppmi_triples(bg), LM_QUERY, k=3)
+    return top.select("a", "b", F.round("ppmi", 5).alias("ppmi"), "rk")
+
+
+SQL_TOP_COOCCURRING = f"""
+    WITH p AS ({_POSITIONS_SQL}),
+    bg0 AS (
+        SELECT doc_id, term AS a,
+               lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM p
+    ),
+    bg AS (SELECT a, b, count(*) AS cnt FROM bg0 WHERE b IS NOT NULL GROUP BY a, b),
+    tot AS (SELECT sum(cnt) AS t FROM bg),
+    ca AS (SELECT a, sum(cnt) AS cnt_a FROM bg GROUP BY a),
+    cb AS (SELECT b, sum(cnt) AS cnt_b FROM bg GROUP BY b),
+    ppmi AS (
+        SELECT bg.a, bg.b,
+               greatest(log2((bg.cnt * tot.t * 1.0) / (ca.cnt_a * cb.cnt_b)), 0.0) AS ppmi
+        FROM bg JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+    )
+    SELECT a, b, round(ppmi, 5) AS ppmi,
+           row_number() OVER (PARTITION BY a ORDER BY ppmi DESC, b ASC) AS rk
+    FROM ppmi
+    WHERE a IN ('query', 'table') AND b NOT IN ('query', 'table')
+    QUALIFY rk <= 3
+"""
+
+
 def q_kmv_sketch(spark, sf_dir):
     """KMV distinct-count sketch STATE over document shingles: the 64
     smallest unit-hashes — an exactly-checkable sketch relation
@@ -1627,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_volume": q_nation_volume,
     "ann_ivf_topk": q_ann_ivf_topk,
     "kmv_sketch": q_kmv_sketch,
+    "top_cooccurring": q_top_cooccurring,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1679,6 +1722,7 @@ ORACLE_SQL: dict[str, str] = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,
     "kmv_sketch": SQL_KMV_SKETCH,
+    "top_cooccurring": SQL_TOP_COOCCURRING,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }

@@ -61,6 +61,40 @@ def frame_sample_stub(payload: bytes, every_n: int = 10, fake: bool = False) -> 
     return [decode_image_stub(payload + bytes([i % 256]), fake=True) for i in range(min(n_frames, 4))]
 
 
+FRAME_SCHEMA = "media_id long, frame_no int, height int, width int, frame_sha string"
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, fake: bool = True
+) -> DataFrame:
+    """video payload → one row per sampled frame with typed metadata + frame
+    digest. Real contract = the mapInPandas fan-out shape (one input row →
+    many output rows, bounded by the Arrow batch size); decode is the stub."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, hs, ws, shas = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                frames = frame_sample_stub(bytes(payload), every_n=every_n, fake=fake)
+                for i, fr in enumerate(frames):
+                    ids.append(media_id)
+                    nos.append(i)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    shas.append(hashlib.sha256(fr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": nos,
+                    "height": hs,
+                    "width": ws,
+                    "frame_sha": shas,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
 FEATURE_SCHEMA = "media_id long, feature array<float>"
 
 

@@ -236,3 +236,20 @@ def test_kmv_estimate_accuracy(spark):
     # fewer than k distinct → exact
     small = spark.range(40).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
     assert kmv_estimate(kmv_state(small, "v", k=64), k=64) == 40.0
+
+
+def test_sample_frames_fanout(spark):
+    from information_retrieval_project_spark.multimodal.binaryops import sample_frames
+
+    rows = [(1, b"v" * 40960), (2, b"w" * 1024)]  # ~4 frames and 1 frame
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = sample_frames(media, every_n=10, fake=True).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r)
+        assert r["height"] == 8 and r["width"] == 8
+        assert len(r["frame_sha"]) == 64
+    assert len(per[1]) == 4 and len(per[2]) == 1
+    # frame digests are deterministic and distinct per frame index
+    shas = [r["frame_sha"] for r in sorted(per[1], key=lambda x: x["frame_no"])]
+    assert len(set(shas)) == len(shas)
