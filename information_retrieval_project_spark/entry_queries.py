@@ -1403,6 +1403,29 @@ SQL_TOP_COOCCURRING = f"""
 """
 
 
+def q_salted_join_volume(spark, sf_dir):
+    """Explicit skew-salted fact⋈dim join (pipelines/skew.salted_join) —
+    oracle is the plain join, proving the salting is exact."""
+    from .pipelines.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    j = salted_join(l, s, "l_suppkey", n_salts=8)
+    return j.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )
+
+
+SQL_SALTED_JOIN_VOLUME = """
+    SELECT s_name, count(*) AS n_items, round(sum(l_quantity), 4) AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+"""
+
+
 def q_kmv_sketch(spark, sf_dir):
     """KMV distinct-count sketch STATE over document shingles: the 64
     smallest unit-hashes — an exactly-checkable sketch relation
@@ -1670,6 +1693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "kmv_sketch": q_kmv_sketch,
     "top_cooccurring": q_top_cooccurring,
+    "salted_join_volume": q_salted_join_volume,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1723,6 +1747,7 @@ ORACLE_SQL: dict[str, str] = {
     "nation_volume": SQL_NATION_VOLUME,
     "kmv_sketch": SQL_KMV_SKETCH,
     "top_cooccurring": SQL_TOP_COOCCURRING,
+    "salted_join_volume": SQL_SALTED_JOIN_VOLUME,
     # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
     # (non-ANSI-SQL ops) → driver records rows-only checks.
 }
