@@ -206,10 +206,12 @@ def build_throughput(n_docs: int, master: str, shuffle: int, pin: int | None = N
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 400k: large enough that compute dominates fixed overhead in the
+    # 300k: large enough that compute dominates fixed overhead in the
     # scaling section, small enough that the whole bench (gen + 4 builds +
-    # latency + headline) stays ~6 min on this sandbox
-    n_docs = int(os.environ.get("BENCH_DOCS", "400000"))
+    # latency + headline) fits the run budget even on a noisy draw
+    n_docs = int(os.environ.get("BENCH_DOCS", "300000"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "420"))  # soft, sec
+    t_start = time.time()
     do_scaling = os.environ.get("BENCH_SCALING", "1") != "0"
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -240,10 +242,14 @@ def main() -> None:
         n_small = max(2, cpus // 8)
         n_big = max(4 * n_small, cpus // 2)
         # measure in adjacent (N, 4N) pairs so noisy-neighbor interference
-        # hits both levels of a pair similarly; keep the best pair's ratio
+        # hits both levels of a pair similarly; keep the best pair's ratio.
+        # Soft time budget: skip the repeat pair / latency section if a noisy
+        # draw already ate the budget (the JSON stays complete either way).
         lo = hi = None
         eff = 0.0
-        for _ in range(2):
+        for rep in range(2):
+            if rep > 0 and time.time() - t_start > budget * 0.6:
+                break
             a = build_throughput(n_docs, f"local[{n_small}]", n_small)
             b = build_throughput(n_docs, f"local[{n_big}]", n_big)
             ratio = b["files_per_sec"] / (4.0 * a["files_per_sec"])
@@ -266,7 +272,10 @@ def main() -> None:
                 min(eff / hw["hw_efficiency"], 1.0), 3
             ) if hw["hw_efficiency"] > 0 else None,
         }
-        result["query_latency"] = query_latency(n_docs, f"local[{n_big}]", n_big)
+        if time.time() - t_start < budget:
+            result["query_latency"] = query_latency(
+                n_docs, f"local[{n_big}]", n_big, n_queries=12
+            )
 
     print(json.dumps(result))
 
