@@ -7,20 +7,16 @@ First-class training-data-pipeline ops (graded alongside SURVEY.md §2):
   xxhash64 column functions (JVM-side); candidate pairs come from a
   self-equi-join on (band, band_signature) — at scale this is a shuffle on
   band keys whose fan-out is bounded by bucket sizes, never an O(n²) cross.
-- simhash64: Charikar sign-fingerprint via a vectorized pandas UDF (bit votes
-  need per-token hash bit decomposition — cheaper in one Arrow pass than 64
-  native columns); near-dup = Hamming distance on the 64-bit fingerprint,
-  candidate-joined on rotated prefix blocks.
+- simhash64: Charikar sign-fingerprint as 64 native `sum(when)` vote columns
+  over xxhash64(term) bits — pure codegen, zero Python; near-dup = Hamming
+  distance on the 64-bit fingerprint, candidate-joined on rotated prefix
+  blocks.
 - ngram_jaccard_pairs: exact shingle-set Jaccard for verification of the
   approximate methods.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,50 +104,71 @@ def ngram_jaccard_pairs(
     )
 
 
-_SIMHASH_SCHEMA = "doc_id long, simhash long"
+def _doc_term_tf(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Slim (doc_id, term, tf) relation via the frozen default pipeline
+    (functions/textnorm: `split(lower(x), '[^a-z0-9_]+')` — never forked,
+    see CLAUDE.md)."""
+    toks = F.filter(F.split(F.lower(F.col(content_col)), "[^a-z0-9_]+"), lambda x: x != "")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _simhash_from_bits(df: DataFrame, tf: DataFrame, bit, id_col: str) -> DataFrame:
+    """Shared SimHash vote+assembly: 64 codegen `sum(when)` vote aggregates
+    (±tf per bit of the term hash), fingerprint bit j = sign of vote j.
+    `bit(j)` returns a 0/1 Column for bit j of the term hash. One shuffle,
+    no Python anywhere (VERDICT r1 #5 replaced the per-row FNV loop)."""
+    votes = [
+        F.sum(F.when(bit(j) == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = tf.groupBy("doc_id").agg(*votes)
+    # Assemble the signed 64-bit fingerprint: bit 63's contribution is the
+    # two's-complement value -(2^63) so the sum stays inside LongType.
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        contrib = -(1 << 63) if j == 63 else (1 << j)
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(contrib).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # Docs with zero tokens produce no tf rows: re-attach with fingerprint 0.
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_ids.join(agg.select("doc_id", fp.alias("simhash")), "doc_id", "left")
+        .na.fill({"simhash": 0})
+    )
 
 
 def simhash64(
     df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash (Charikar 2002): per-token 64-bit hash bits vote ±tf;
-    fingerprint bit = sign of the vote. Vectorized pandas UDF (Arrow)."""
-    from ..functions.textnorm import normalize_tokenize
+    """64-bit SimHash (Charikar 2002), fully JVM-native: bits come from
+    xxhash64(term) (the production hash — one 64-bit op per distinct term)."""
+    tf = _doc_term_tf(df, content_col, id_col).withColumn("h", F.xxhash64("term"))
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            ids, fps = [], []
-            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
-                toks = normalize_tokenize(content)
-                if not toks:
-                    ids.append(doc_id)
-                    fps.append(0)
-                    continue
-                terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                # deterministic 64-bit hash per term (FNV-1a, pure python ints)
-                hs = np.array([_fnv1a64(t) for t in terms], dtype=np.uint64)
-                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                fp = np.uint64(0)
-                for j in range(64):
-                    if votes[j] > 0:
-                        fp |= np.uint64(1) << np.uint64(j)
-                ids.append(doc_id)
-                fps.append(int(fp.astype(np.int64)))  # store as signed long
-            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+    def bit(j: int):
+        return F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))
 
-    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content")).mapInPandas(
-        gen, _SIMHASH_SCHEMA
-    )
+    return _simhash_from_bits(df, tf, bit, id_col)
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash64_md5(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """simhash64 with md5-derived bits instead of xxhash64 — same vote and
+    assembly machinery, but every step is ANSI-SQL-expressible so the DuckDB
+    driver gate can verify the bit-vote semantics exactly (VERDICT r1 #6).
+    Bit j lives in hex digit j//4 of md5(term), position 3-(j%4)."""
+    tf = _doc_term_tf(df, content_col, id_col).withColumn("h", F.md5("term"))
+
+    def bit(j: int):
+        digit = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(digit, 3 - (j % 4)).bitwiseAND(F.lit(1))
+
+    return _simhash_from_bits(df, tf, bit, id_col)
 
 
 def simhash_near_dup_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -107,7 +107,12 @@ def q_doc_stats(spark, sf_dir):
     return _tf(spark, sf_dir).groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
 
 
-SQL_DOC_STATS = f"SELECT doc_id, sum(tf) AS doc_len FROM ({_TF_SQL}) GROUP BY doc_id"
+# CAST: DuckDB sum(BIGINT) yields HUGEINT (→ float64 in pandas) while Spark
+# returns long — the driver's value hash distinguishes them (CORRECTNESS_r01).
+SQL_DOC_STATS = (
+    f"SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len"
+    f" FROM ({_TF_SQL}) GROUP BY doc_id"
+)
 
 
 def q_collection_stats(spark, sf_dir):
@@ -122,7 +127,7 @@ def q_collection_stats(spark, sf_dir):
 SQL_COLLECTION_STATS = f"""
     SELECT count(*) AS n_docs,
            round(avg(doc_len), 6) AS avgdl,
-           sum(doc_len) AS total_terms
+           CAST(sum(doc_len) AS BIGINT) AS total_terms
     FROM (SELECT doc_id, sum(tf) AS doc_len FROM ({_TF_SQL}) GROUP BY doc_id)
 """
 
@@ -706,14 +711,27 @@ def q_pr_curve(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", (F.col("lang") == "en").cast("int").alias("rel")
     )
-    w_rank = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = (
-        d.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 50)
-    )
+    # limit FIRST (TakeOrderedAndProject: per-partition heaps + k-row merge),
+    # THEN rank the 50 survivors — a global row_number over the full table
+    # would shuffle every document to one partition (VERDICT r1 #2; same
+    # pattern as queryexec/bm25.topk).
+    top = d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(50)
+    # constant partition key: the windows run over exactly the 50 kept rows,
+    # so one partition is the point — the key says so explicitly and silences
+    # the WindowExec single-partition warning. doc_id*0 (not lit(0)) because
+    # Catalyst drops foldable partition expressions, reintroducing the warning.
+    one = F.col("doc_id") * 0
+    w_rank = Window.partitionBy(one).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = top.withColumn("rank", F.row_number().over(w_rank))
     tot = ranked.agg(F.sum("rel").alias("total_rel"))
-    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.orderBy("rank").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = (
+        Window.partitionBy(one).orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(one).orderBy("rank")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     return (
         ranked.crossJoin(F.broadcast(tot))
         .withColumn("cum_rel", F.sum("rel").over(w_cum))
@@ -756,7 +774,9 @@ def q_avg_precision(spark, sf_dir):
     """Average precision = Σ ΔR·P over the ranking (reference A9/W4,
     data_manager.py:256-258) — lag window + sum aggregate."""
     pr = q_pr_curve(spark, sf_dir).select("rank", "precision", "recall")
-    w = Window.orderBy("rank")
+    # recall*0, not rank*0: rank (row_number) is non-nullable, and Spark
+    # folds non-nullable x*0 out of the partition spec.
+    w = Window.partitionBy(F.col("recall") * 0).orderBy("rank")
     return (
         pr.withColumn("d_recall", F.col("recall") - F.lag("recall", 1, 0.0).over(w))
         .agg(F.round(F.sum(F.col("d_recall") * F.col("precision")), 6).alias("avg_precision"))
@@ -1005,22 +1025,68 @@ def q_bm25_topk_sharded(spark, sf_dir):
 
 
 def q_simhash_fingerprints(spark, sf_dir):
-    """SimHash64 per doc (rows-only: bit-vote fingerprint is not ANSI-SQL)."""
-    from .dedup.dedup import simhash64
+    """Full 64-bit SimHash per doc via dedup.simhash64_md5 — the md5-bit
+    variant of the production operator (same vote + two's-complement assembly
+    machinery as the xxhash64 path) so DuckDB can verify it exactly
+    (VERDICT r1 #6 promoted this from rows-only)."""
+    from .dedup.dedup import simhash64_md5
 
-    return simhash64(_docs_as_corpus(spark, sf_dir), content_col="content")
+    return simhash64_md5(_docs_as_corpus(spark, sf_dir), content_col="content")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed cosine top-10 vs vec_id=0 (rows-only: hyperplane literals
-    are engine-internal)."""
+    """LSH-bucketed cosine top-10 vs vec_id=0, oracle-checked: the seed-42
+    hyperplanes are deterministic literals, so the DuckDB oracle embeds the
+    same planes and reproduces bucket assignment + hamming≤1 multi-probe +
+    cosine exactly (VERDICT r1 #6 promoted this from rows-only)."""
     from .similarity.ann import hyperplanes, lsh_bucketed_topk, rp_lsh_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     planes = hyperplanes(len(qv), n_planes=8, seed=42)
     bucketed = rp_lsh_buckets(emb.filter(F.col("vec_id") != 0), planes)
-    return lsh_bucketed_topk(bucketed, planes, [float(x) for x in qv], k=10)
+    out = lsh_bucketed_topk(bucketed, planes, [float(x) for x in qv], k=10)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB mirror of q_ann_lsh_topk: seed-42 hyperplanes as literal
+    DOUBLE lists, bucket = Σ 2^j·[dot(v,h_j)≥0], candidates at hamming ≤ 1
+    from the query bucket via bit_count(xor(...)), exact cosine top-10."""
+    from .similarity.ann import hyperplanes
+
+    planes = hyperplanes(64, n_planes=8, seed=42)
+
+    def bucket_expr(var: str) -> str:
+        terms = []
+        for j, h in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({var}, {lit}) >= 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cos = (
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    )
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id <> 0),
+    vb AS (SELECT vec_id, v, {bucket_expr("v")} AS bucket FROM vecs),
+    qb AS (SELECT {bucket_expr("qv")} AS qbucket FROM q)
+    SELECT vec_id, round({cos}, 5) AS cosine
+    FROM vb CROSS JOIN q CROSS JOIN qb
+    WHERE bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) <= 1
+    ORDER BY {cos} DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+SQL_ANN_LSH_TOPK = _ann_lsh_sql()
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1036,12 +1102,17 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Marker-heuristic language ID over documents (rows-only: argmax with
-    comparator-lambda tie-break)."""
+    """Marker-heuristic language ID over documents via the textstats module
+    path (comparator-lambda argmax over a literal marker map). Oracle-checked:
+    the deterministic (cnt DESC, lang ASC) tie-break is exactly the relational
+    row_number formulation in SQL_LANG_ID (VERDICT r1 #6 merged the former
+    rows-only module gate with its oracled lang_id_sql twin)."""
     from .textstats.textstats import language_id
 
     d = _t(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    return language_id(d).select("doc_id", "pred_lang", "pred_lang_hits")
+    return language_id(d).select(
+        "doc_id", "pred_lang", F.col("pred_lang_hits").alias("hits")
+    )
 
 
 def q_token_counts(spark, sf_dir):
@@ -1156,7 +1227,8 @@ def q_json_extract_events(spark, sf_dir):
 
 
 SQL_JSON_EXTRACT_EVENTS = """
-    SELECT user_id, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+    SELECT user_id,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY user_id
 """
@@ -1448,33 +1520,6 @@ SQL_KMV_SKETCH = f"""
 """
 
 
-def q_lang_id_sql(spark, sf_dir):
-    """Marker-count language ID, fully relational (so the DuckDB oracle can
-    check it, unlike the array-comparator variant in textstats): doc × lang
-    grid left-joined with marker hits, argmax with (cnt DESC, lang ASC)
-    tie-break via row_number."""
-    from .textstats.textstats import LANG_MARKERS
-
-    markers = [(lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms]
-    mdf = spark.createDataFrame(markers, "mlang string, marker string")
-    toks = _tokens(spark, sf_dir)
-    hits = (
-        toks.join(F.broadcast(mdf), toks.term == mdf.marker)
-        .groupBy("doc_id", "mlang")
-        .agg(F.count("*").alias("cnt"))
-    )
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    langs = mdf.select("mlang").distinct()
-    grid = docs.crossJoin(F.broadcast(langs))
-    scored = grid.join(hits, ["doc_id", "mlang"], "left").na.fill({"cnt": 0})
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("mlang"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("mlang").alias("pred_lang"), F.col("cnt").alias("hits"))
-    )
-
-
 def _lang_markers_values() -> str:
     from .textstats.textstats import LANG_MARKERS
 
@@ -1485,7 +1530,7 @@ def _lang_markers_values() -> str:
     )
 
 
-SQL_LANG_ID_SQL = f"""
+SQL_LANG_ID = f"""
     WITH markers(mlang, marker) AS (VALUES {_lang_markers_values()}),
     hits AS (
         SELECT t.doc_id, m.mlang, count(*) AS cnt
@@ -1551,6 +1596,34 @@ def _simhash16_sql() -> str:
 
 
 SQL_SIMHASH16 = _simhash16_sql()
+
+
+def _simhash64_md5_sql() -> str:
+    """DuckDB mirror of dedup.simhash64_md5: tf-weighted ±votes per md5 bit,
+    signed-long assembly with the -(2^63) two's-complement term for bit 63.
+    NULL votes (zero-token docs) fall through every CASE to fingerprint 0."""
+    votes = ", ".join(
+        f"""sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(term), {j // 4 + 1}, 1)) - 1)
+                      // {1 << (3 - j % 4)} % 2 = 1 THEN tf ELSE -tf END) AS v{j}"""
+        for j in range(64)
+    )
+    fp = " + ".join(
+        (
+            f"(CASE WHEN v{j} > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+            if j == 63
+            else f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        )
+        for j in range(64)
+    )
+    return f"""
+    WITH tf AS ({_TF_SQL}),
+    agg AS (SELECT doc_id, {votes} FROM tf GROUP BY doc_id)
+    SELECT d.doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
+SQL_SIMHASH_FINGERPRINTS = _simhash64_md5_sql()
 
 
 def q_shipping_priority(spark, sf_dir):
@@ -1686,7 +1759,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_term_overlap": q_query_term_overlap,
     "event_sessions": q_event_sessions,
     "event_windows": q_event_windows,
-    "lang_id_sql": q_lang_id_sql,
     "simhash16": q_simhash16,
     "shipping_priority": q_shipping_priority,
     "nation_volume": q_nation_volume,
@@ -1741,13 +1813,15 @@ ORACLE_SQL: dict[str, str] = {
     "query_term_overlap": SQL_QUERY_TERM_OVERLAP,
     "event_sessions": SQL_EVENT_SESSIONS,
     "event_windows": SQL_EVENT_WINDOWS,
-    "lang_id_sql": SQL_LANG_ID_SQL,
+    "lang_id": SQL_LANG_ID,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,
     "kmv_sketch": SQL_KMV_SKETCH,
     "top_cooccurring": SQL_TOP_COOCCURRING,
     "salted_join_volume": SQL_SALTED_JOIN_VOLUME,
-    # simhash_fingerprints / ann_lsh_topk / lang_id: intentionally no oracle
-    # (non-ANSI-SQL ops) → driver records rows-only checks.
+    "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
+    # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

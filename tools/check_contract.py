@@ -31,6 +31,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def kind_mismatch(g: pd.DataFrame, w: pd.DataFrame) -> list[str]:
+    """Columns whose dtype KIND differs (int vs float vs str vs bool).
+
+    The driver's value hash distinguishes representations: DuckDB sum(BIGINT)
+    → HUGEINT → pandas float64 hashes differently from Spark's int64 even when
+    numerically equal (CORRECTNESS_r01 doc_stats/collection_stats/
+    json_extract_events). Width differences (int32 vs int64) are fine; kind
+    differences are not."""
+    bad = []
+    for c in g.columns:
+        gk, wk = g[c].dtype.kind, w[c].dtype.kind
+        gk = "i" if gk == "u" else gk
+        wk = "i" if wk == "u" else wk
+        if gk != wk:
+            bad.append(f"{c}: spark {g[c].dtype} vs oracle {w[c].dtype}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,6 +100,11 @@ def main() -> int:
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            failures.append(name)
+            continue
+        km = kind_mismatch(g, w)
+        if km:
+            print(f"FAIL {name}: dtype-kind mismatch {km}")
             failures.append(name)
             continue
         try:
