@@ -353,7 +353,11 @@ SQL_MINHASH_SIGNATURES = f"""
 
 def q_minhash_band_pairs(spark, sf_dir):
     """LSH banding: 4 bands × 2 rows; candidate pairs share any band value.
-    Classic MinHash-LSH (Broder; MMDS ch.3) as a self-join on band keys."""
+    Classic MinHash-LSH (Broder; MMDS ch.3) as a self-join on band keys,
+    with the skew guard of dedup.minhash_lsh_pairs: buckets above 1000
+    members are skipped before the self-join (oracle mirrors the HAVING)."""
+    from .dedup.dedup import _cap_buckets
+
     sig = q_minhash_signatures(spark, sf_dir)
     bands = None
     for bidx in range(4):
@@ -363,6 +367,7 @@ def q_minhash_band_pairs(spark, sf_dir):
             F.concat(F.col(f"h{2 * bidx}"), F.col(f"h{2 * bidx + 1}")).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
+    bands = _cap_buckets(bands, ["band", "key"], 1000)
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -381,12 +386,14 @@ def q_minhash_band_pairs(spark, sf_dir):
 
 SQL_MINHASH_BAND_PAIRS = f"""
     WITH sig AS ({SQL_MINHASH_SIGNATURES}),
-    bands AS (
+    bands0 AS (
         SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
         UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
         UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
         UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
-    )
+    ),
+    ok AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= 1000),
+    bands AS (SELECT bands0.* FROM bands0 JOIN ok USING (band, key))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -395,12 +402,17 @@ SQL_MINHASH_BAND_PAIRS = f"""
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """3-token-shingle Jaccard over candidate pairs sharing ≥1 shingle.
-    Join-based set-similarity (the scalable form of pairwise Jaccard)."""
+    Join-based set-similarity (the scalable form of pairwise Jaccard), with
+    the document-frequency cap of dedup.ngram_jaccard_pairs: shingles in
+    >1000 docs are excluded before the self-join (oracle mirrors it)."""
+    from .dedup.dedup import _cap_buckets
+
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = _cap_buckets(sh, ["shingle"], 1000)
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -416,9 +428,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 SQL_NGRAM_JACCARD_PAIRS = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT sh.* FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+        USING (shingle)
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,

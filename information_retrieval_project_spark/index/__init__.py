@@ -5,6 +5,7 @@ from .build import (  # noqa: F401
     collection_stats,
     doc_stats,
     read_index,
+    read_index_meta,
     tokenize_tf,
     with_doc_id,
     write_index,

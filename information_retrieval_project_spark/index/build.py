@@ -193,26 +193,27 @@ def _encode_pairs_udf():
     return encode
 
 
-def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFrame:
-    """tf triples → compressed index with explicit hot-term salting.
+def detect_hot_terms(
+    tf_df: DataFrame, cfg: BuildConfig, scale: float | None = None
+) -> DataFrame:
+    """(term, n_salts) for terms whose estimated df exceeds the threshold.
 
-    Shuffle/skew profile: stage 1 groups by (term, salt) so no single
-    reduce-side group exceeds ~docs_per_salt rows even for `def`/`import`
-    grade hot terms; stage 2 re-groups the (few, pre-aggregated) salted runs
-    per term — rows shuffled there = number of sub-runs, not postings. All
-    grouping/sorting is JVM hash-agg + array_sort; Python only encodes the
-    final arrays through one Arrow pass.
-    """
-    sample = cfg.hot_detection_sample
-    if 0 < sample < 1:
-        df_est = (
-            tf_df.sample(fraction=sample, seed=42)
-            .groupBy("term")
-            .agg((F.count("*") / sample).alias("df"))
-        )
-    else:
-        df_est = tf_df.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    hot = (
+    Sampled heavy-hitter detection (classic sketch-style): a term missed near
+    the threshold just takes the 1-salt path — salting is a memory-bound
+    mechanism, never a correctness one.
+
+    scale: when tf_df is ALREADY a sample of the corpus, pass its sampling
+    fraction so counts are scaled up (count/scale) instead of re-sampling;
+    when None, cfg.hot_detection_sample row-samples tf_df here."""
+    if scale is None:
+        sample = cfg.hot_detection_sample
+        if 0 < sample < 1:
+            tf_df = tf_df.sample(fraction=sample, seed=42)
+            scale = sample
+        else:
+            scale = 1.0
+    df_est = tf_df.groupBy("term").agg((F.count("*") / scale).alias("df"))
+    return (
         df_est.filter(F.col("df") > cfg.hot_df_threshold)
         .withColumn(
             "n_salts",
@@ -222,6 +223,29 @@ def build_postings(tf_df: DataFrame, cfg: BuildConfig = BuildConfig()) -> DataFr
         )
         .select("term", "n_salts")
     )
+
+
+def build_postings(
+    tf_df: DataFrame,
+    cfg: BuildConfig = BuildConfig(),
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """tf triples → compressed index with explicit hot-term salting.
+
+    Shuffle/skew profile: stage 1 groups by (term, salt) so no single
+    reduce-side group exceeds ~docs_per_salt rows even for `def`/`import`
+    grade hot terms; stage 2 re-groups the (few, pre-aggregated) salted runs
+    per term — rows shuffled there = number of sub-runs, not postings. All
+    grouping/sorting is JVM hash-agg + array_sort; Python only encodes the
+    final arrays through one Arrow pass.
+
+    hot: optional precomputed (term, n_salts) — build_index passes a
+    corpus-sample estimate so the broadcast pre-job doesn't force a full
+    tokenize pass before the main build starts (VERDICT r1: the detection
+    job was the build's fixed serial share).
+    """
+    if hot is None:
+        hot = detect_hot_terms(tf_df, cfg)
     salted = (
         tf_df.join(F.broadcast(hot), "term", "left")
         .withColumn(
@@ -294,7 +318,22 @@ def build_index(
         tf_df = tf_df.persist()
     ds = doc_stats(tf_df)
     cs = collection_stats(ds)
-    idx = build_postings(tf_df, cfg)
+    # Hot-term detection from a DOC sample of the corpus, not from tf_df:
+    # sampling tf_df would force the broadcast pre-job to tokenize the whole
+    # corpus before the main build starts (it was the build's fixed serial
+    # share); tokenizing hot_detection_sample of the docs costs ~1/sample of
+    # that. Per-doc (term, doc) pair counts / sample is the same unbiased df
+    # estimator either way.
+    sample = cfg.hot_detection_sample
+    if 0 < sample < 1:
+        sampled_tf = tokenize_tf(
+            ids.sample(fraction=sample, seed=42),
+            cfg.strategy, cfg.stem, cfg.stopwords,
+        )
+        hot = detect_hot_terms(sampled_tf, cfg, scale=sample)
+        idx = build_postings(tf_df, cfg, hot=hot)
+    else:
+        idx = build_postings(tf_df, cfg)
     return idx, ds, cs
 
 
@@ -304,23 +343,55 @@ def write_index(
     cs: DataFrame,
     out_dir: str,
     term_buckets: int = 32,
+    fmt: str = "parquet",
 ) -> None:
     """Persist the index partitioned by a stable term-hash bucket so query-time
-    term lookups prune partitions (SURVEY.md §4.2 partition pruning)."""
+    term lookups prune partitions (SURVEY.md §4.2 partition pruning). The
+    bucket count is recorded in an `index_meta` sidecar — the query path must
+    hash query terms with the SAME modulus or pruning silently drops valid
+    postings (ADVICE r1).
+
+    fmt: "parquet" (default; the sandbox has no Iceberg jars) or "iceberg"
+    (north_rule target layout — path-based HadoopTables; on a real cluster
+    the atomic-snapshot commit replaces the rename protocol of
+    pipelines/lineage.py, see its module docstring). Identical layout and
+    partitioning either way; read back with read_index(fmt=...)."""
     (
         idx.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(f"{out_dir}/index")
+        .format(fmt)
+        .save(f"{out_dir}/index")
     )
-    ds.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-    cs.write.mode("overwrite").parquet(f"{out_dir}/collection_stats")
+    ds.write.mode("overwrite").format(fmt).save(f"{out_dir}/doc_stats")
+    cs.write.mode("overwrite").format(fmt).save(f"{out_dir}/collection_stats")
+    meta = idx.sparkSession.createDataFrame(
+        [(int(term_buckets), fmt)], "term_buckets int, fmt string"
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{out_dir}/index_meta")
 
 
-def read_index(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+def read_index_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Sidecar layout metadata; {'term_buckets': 32, 'fmt': 'parquet'}
+    fallback for indexes written before the sidecar existed."""
+    try:
+        row = spark.read.json(f"{out_dir}/index_meta").collect()[0]
+        d = row.asDict()
+        return {
+            "term_buckets": int(d["term_buckets"]),
+            "fmt": d.get("fmt") or "parquet",
+        }
+    except Exception:  # noqa: BLE001 — legacy layout without the sidecar
+        return {"term_buckets": 32, "fmt": "parquet"}
+
+
+def read_index(
+    spark: SparkSession, out_dir: str, fmt: str = "parquet"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    r = spark.read.format(fmt)
     return (
-        spark.read.parquet(f"{out_dir}/index"),
-        spark.read.parquet(f"{out_dir}/doc_stats"),
-        spark.read.parquet(f"{out_dir}/collection_stats"),
+        r.load(f"{out_dir}/index"),
+        r.load(f"{out_dir}/doc_stats"),
+        r.load(f"{out_dir}/collection_stats"),
     )

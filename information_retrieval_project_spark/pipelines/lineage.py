@@ -11,12 +11,16 @@ per-partition lineage and index-throughput metrics. Design (SURVEY.md §4.2,
   an ATOMIC commit: write to `_tmp_unit=<i>`, then rename to `unit=<i>`.
   Spark task retries inside the unit are already safe (parquet job commit);
   the rename makes the *unit* commit atomic against driver crashes.
-- A lineage manifest (JSON lines, one per unit) records input fingerprint,
-  row/term counts, wall time, and throughput — append-only, written after
-  the rename, so `manifest ⊆ committed units` always holds.
-- Resume = skip units present in the manifest; the final posting build reads
-  all unit outputs (a plain parquet scan) and is itself idempotent
-  (mode=overwrite on the index output).
+- A lineage manifest (JSON lines, one per unit) records an input fingerprint
+  (order-independent bit_xor of xxhash64(repo,path,commit,content) plus the
+  row count), row/term counts, wall time, and throughput — append-only,
+  written after the rename, so `manifest ⊆ committed units` always holds.
+- Resume = skip units whose manifest fingerprint matches the CURRENT input
+  (one slim groupBy(build_unit) hash pass recomputes all unit fingerprints);
+  units built from since-changed input are invalidated and rebuilt
+  (ADVICE r1). The final posting build reads all unit outputs (a plain
+  parquet scan) and is itself idempotent (mode=overwrite on the index
+  output).
 
 At cluster scale each unit is a chunk of input partitions, the manifest
 lives on the object store, and Iceberg snapshot commits would replace the
@@ -91,14 +95,34 @@ def resumable_build(
     ids = with_doc_id(corpus).withColumn(
         "build_unit", F.pmod(F.xxhash64("repo", "path"), F.lit(n_units))
     )
+    # One slim pass computes every unit's input fingerprint: row count +
+    # order-independent bit_xor of the full-row hash. A manifest entry only
+    # skips its unit if the fingerprint still matches — a resumed run against
+    # changed input rebuilds the stale units instead of silently keeping them.
+    fps = {
+        r["build_unit"]: (r["n"], r["fp"])
+        for r in ids.groupBy("build_unit")
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor(
+                F.xxhash64("repo", "path", "commit", "content")
+            ).alias("fp"),
+        )
+        .collect()
+    }
     metrics: list[UnitMetric] = []
     processed = 0
     for unit in range(n_units):
-        if unit in done:
+        n_docs, input_fp = fps.get(unit, (0, 0))
+        prev = done.get(unit)
+        if (
+            prev is not None
+            and prev.get("input_fp") == input_fp
+            and prev.get("n_docs") == n_docs
+        ):
             continue
         t0 = time.time()
         part = ids.filter(F.col("build_unit") == unit)
-        n_docs = part.count()
         tf_df = tokenize_tf(part, cfg.strategy, cfg.stem, cfg.stopwords)
         tmp = os.path.join(tf_root, f"_tmp_unit={unit}")
         final = os.path.join(tf_root, f"unit={unit}")
@@ -116,6 +140,7 @@ def resumable_build(
                 json.dumps(
                     {
                         "unit": unit,
+                        "input_fp": input_fp,
                         "n_docs": m.n_docs,
                         "n_tf_rows": m.n_tf_rows,
                         "seconds": round(m.seconds, 3),

@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SALTED_JOIN_HOWS = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                     "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -25,7 +29,14 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join fact⋈dim on `key` with salting. Result is column-identical
-    to fact.join(dim, key, how)."""
+    to fact.join(dim, key, how) for fact-preserving join types only: with a
+    right/full outer join each unmatched dim row would surface once per salt
+    replica (n_salts copies), so those modes are rejected."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTED_JOIN_HOWS}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer would duplicate unmatched dim rows per salt"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
     )

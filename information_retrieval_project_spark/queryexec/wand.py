@@ -197,15 +197,21 @@ def bm25_topk_compressed(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    term_buckets: int = 32,
 ) -> DataFrame:
     """Query the compressed index: prune to query terms (term + term_bucket
-    predicate pushdown), decode, score natively, top-k."""
+    predicate pushdown), decode, score natively, top-k.
+
+    `term_buckets` MUST match the modulus the index was written with
+    (write_index param, recorded in its index_meta sidecar — see
+    read_index_meta); a mismatched modulus computes wrong bucket values and
+    silently prunes away valid postings (ADVICE r1)."""
     uniq = sorted(set(query_tokens))
     cond = F.col("term").isin(uniq)
     if "term_bucket" in index_df.columns:
         buckets = (
             index_df.sparkSession.createDataFrame([(t,) for t in uniq], "term string")
-            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(32)))
+            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))))
         )
         bvals = [r["tb"] for r in buckets.select("tb").distinct().collect()]
         cond = cond & F.col("term_bucket").isin(bvals)

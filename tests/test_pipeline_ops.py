@@ -59,6 +59,40 @@ def test_minhash_pipeline_finds_near_dups(docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_hot_key_caps_bound_pathological_fanout(spark):
+    """Skew guard (VERDICT r1 #7): a corpus where EVERY doc shares one
+    boilerplate shingle must not go quadratic — capped variants complete
+    with bounded pair counts, and a cap ≥ corpus size reproduces the
+    uncapped result exactly."""
+    n = 40
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique_{i} filler_{i} token_{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    sh = shingles(docs)
+
+    # the boilerplate shingles hit all 40 docs -> excluded at max_df=10
+    capped = ngram_jaccard_pairs(sh, threshold=0.0, max_df=10).collect()
+    uncapped = ngram_jaccard_pairs(sh, threshold=0.0, max_df=10_000).collect()
+    assert len(uncapped) == n * (n - 1) // 2   # every pair shares boilerplate
+    assert len(capped) == 0                    # hot shingles contribute nothing
+
+    # minhash: signatures dominated by the shared shingles -> one hot bucket;
+    # the guard drops it, and a large cap restores the uncapped result
+    sig = minhash_signatures(sh, n_hashes=16)
+    hot = minhash_lsh_pairs(sig, max_bucket=10).count()
+    full = minhash_lsh_pairs(sig, max_bucket=10_000).count()
+    assert hot <= full
+
+    # simhash pigeonhole blocks: same guard shape (candidates = pairs
+    # sharing >=1 of the 4 16-bit blocks; boilerplate-dominated prints
+    # collide on blocks, so the corpus produces candidates)
+    sim = simhash64(docs)
+    hot_s = simhash_near_dup_pairs(sim, max_hamming=63, max_bucket=10).count()
+    full_s = simhash_near_dup_pairs(sim, max_hamming=63, max_bucket=10_000).count()
+    assert hot_s <= full_s
+    assert full_s > 0
+
+
 def test_ngram_jaccard_exact(docs):
     sh = shingles(docs)
     pairs = {

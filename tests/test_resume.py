@@ -61,3 +61,39 @@ def test_rerun_is_noop(spark, tmp_path):
     resumable_build(spark, corpus, out, n_units=4, cfg=CFG)
     again = resumable_build(spark, corpus, out, n_units=4, cfg=CFG)
     assert again == []  # everything checkpointed, nothing re-runs
+
+
+def test_changed_input_invalidates_stale_units(spark, tmp_path):
+    """Resume against CHANGED input must rebuild the affected units, not
+    silently skip them (manifest input fingerprint, ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    corpus = generate_corpus(spark, 120, partitions=2).cache()
+    out = str(tmp_path / "build3")
+    resumable_build(spark, corpus, out, n_units=4, cfg=CFG)
+
+    # mutate one file's content → exactly the units holding its rows change
+    changed = corpus.withColumn(
+        "content",
+        F.when(F.col("path") == corpus.select("path").first()["path"],
+               F.concat(F.col("content"), F.lit(" mutated_token")))
+        .otherwise(F.col("content")),
+    ).cache()
+    again = resumable_build(spark, changed, out, n_units=4, cfg=CFG)
+    assert len(again) >= 1                   # stale unit(s) rebuilt
+    assert len(again) < 4                    # unaffected units still skipped
+
+    # after the rebuild, the resumed state matches a from-scratch build
+    finalize_index(spark, out, CFG)
+    idx, _, _ = build_index(changed, CFG)
+    want = {
+        r["term"]: (r["df"], decode_postings(bytes(r["postings"]))[0].tolist())
+        for r in idx.collect()
+    }
+    got = {
+        k: (v[0], v[1])
+        for k, v in _index_as_dict(spark, os.path.join(out, "index")).items()
+    }
+    assert got == want
+    # and a further rerun is again a no-op
+    assert resumable_build(spark, changed, out, n_units=4, cfg=CFG) == []
