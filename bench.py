@@ -399,9 +399,11 @@ def main() -> None:
             )
         # second corpus size (round-over-round noise control, VERDICT r1 #10)
         if time.time() - t_start < budget * 0.75:
+            # reps=3: at the smaller size JIT is still warming at rep 2 (one
+            # 300k draw measured 40k/66k/81k f/s across reps at local[16])
             n2 = max(100_000, n_docs // 4)
-            a2 = build_throughput(n2, n_small, reps=2)
-            b2 = build_throughput(n2, n_big, reps=2)
+            a2 = build_throughput(n2, n_small, reps=3)
+            b2 = build_throughput(n2, n_big, reps=3)
             result["scaling_second_size"] = {
                 "n_docs": n2,
                 "files_per_sec_n": a2["files_per_sec"],

@@ -1,0 +1,6 @@
+from .docstore import (  # noqa: F401
+    DocStoreDataSource,
+    enrich_with_docstore,
+    read_docstore,
+    register,
+)
