@@ -1106,6 +1106,76 @@ def _ann_lsh_sql() -> str:
 SQL_ANN_LSH_TOPK = _ann_lsh_sql()
 
 
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """All-pairs embedding near-dup detection (the dedup-list cell the brief
+    names 'embedding-cosine near-dup'): 4-plane sign-LSH buckets, candidates
+    at bucket hamming ≤ 1 via probe-explode equi-join (no O(n²) cross), then
+    the exact cosine ≥ 0.4 filter. Deterministic: oracle embeds the same
+    seed-42 planes and mirrors the hamming predicate."""
+    from .similarity.ann import hyperplanes, lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    out = lsh_near_dup_pairs(emb, planes, tau=0.4, probe_hamming=1)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+def _emb_near_dup_sql() -> str:
+    from .similarity.ann import hyperplanes
+
+    planes = hyperplanes(64, n_planes=4, seed=42)
+    terms = []
+    for j, h in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    cos = (
+        "list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               {bucket} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 5) AS cosine
+    FROM v a JOIN v b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
+    WHERE {cos} >= 0.4
+    """
+
+
+SQL_EMB_NEAR_DUP_PAIRS = _emb_near_dup_sql()
+
+
+def q_boolean_and_docs(spark, sf_dir):
+    """Conjunctive retrieval: documents containing ALL query terms — the
+    relational form of posting-list intersection (SURVEY.md §2.3; the WAND
+    kernel's merge path is the served form, pytest-proven equal to
+    exhaustive scoring)."""
+    toks = _tokens(spark, sf_dir).distinct()
+    return (
+        toks.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(BM25_QUERY))
+        .select("doc_id")
+    )
+
+
+SQL_BOOLEAN_AND_DOCS = f"""
+    SELECT doc_id
+    FROM (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL}))
+    WHERE term IN ('join', 'spark', 'window')
+    GROUP BY doc_id
+    HAVING count(*) = 3
+"""
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed cosine top-10 vs vec_id=0 (rows-only: the k-means
     quantizer is engine-internal; exactness-at-full-nprobe is pytest-proven)."""
@@ -1762,6 +1832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_sharded": q_bm25_topk_sharded,
     "simhash_fingerprints": q_simhash_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "boolean_and_docs": q_boolean_and_docs,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
@@ -1832,6 +1904,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_windows": SQL_EVENT_WINDOWS,
     "lang_id": SQL_LANG_ID,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
+    "boolean_and_docs": SQL_BOOLEAN_AND_DOCS,
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,

@@ -137,6 +137,61 @@ def ivf_topk(
     return brute_force_cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    planes: np.ndarray,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """ALL-PAIRS embedding near-dup detection above cosine `tau`, LSH-bucketed
+    (the dedup counterpart of lsh_bucketed_topk's search): candidates are
+    pairs whose sign-buckets differ in ≤ probe_hamming bits — side A is
+    exploded to its bucket plus the hamming-1 neighborhood and equi-joined on
+    side B's true bucket, so the join stays a shuffle on bucket keys, never
+    an O(n²) cross — then the exact cosine filter runs only on candidates.
+    Deterministic given the seed-derived planes; recall < 1 by construction
+    (standard LSH dedup semantics). Buckets above max_bucket are dropped
+    (skew guard, same rationale as dedup._cap_buckets)."""
+    if probe_hamming > 1:
+        raise ValueError("probe expansion implemented for hamming <= 1")
+    b = rp_lsh_buckets(emb, planes)
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(len(planes))
+        ]
+    ok = (
+        b.groupBy("bucket").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    b = b.join(ok, "bucket")
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("_va"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    bb = b.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("_vb"), "bucket"
+    )
+    cand = (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     emb_with_buckets: DataFrame,
     planes: np.ndarray,

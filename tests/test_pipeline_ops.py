@@ -22,6 +22,7 @@ from information_retrieval_project_spark.similarity.ann import (
     brute_force_cosine_topk,
     hyperplanes,
     lsh_bucketed_topk,
+    lsh_near_dup_pairs,
     rp_lsh_buckets,
 )
 from information_retrieval_project_spark.textstats.textstats import (
@@ -114,6 +115,27 @@ def test_simhash_near_dups(spark, docs):
     assert pairs[(1, 2)] == 0
     # near-dup 3 should be close to 1; unrelated 4 should not be within 16
     assert (1, 4) not in pairs or pairs[(1, 4)] > pairs.get((1, 3), 64)
+
+
+def test_lsh_near_dup_pairs_finds_planted_dup(spark):
+    """A planted near-identical vector shares all plane signs with its
+    original (hamming-0 bucket) → the pair surfaces; cosine is exact."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    vecs = [v for v in base] + [base[0] + 0.01 * rng.standard_normal(16)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = hyperplanes(16, n_planes=4, seed=1)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(df, planes, tau=0.9).collect()
+    }
+    assert (0, 40) in pairs and pairs[(0, 40)] > 0.99
+    # candidate generation is bucket-equi-join, never cross: a tiny
+    # max_bucket drops the whole space → no pairs, still completes
+    assert lsh_near_dup_pairs(df, planes, tau=0.0, max_bucket=1).count() == 0
 
 
 def test_brute_force_cosine_matches_numpy(spark):
