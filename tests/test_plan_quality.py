@@ -53,3 +53,34 @@ def test_native_path_vectorized_scan_and_hash_agg(spark, sf_dir):
     p = plan(EQ.q_token_stats(spark, sf_dir))
     assert "Batched: true" in p
     assert "HashAggregate" in p and "SortAggregate" not in p
+
+
+def test_pr_curve_limits_before_ranking(spark, sf_dir):
+    """Regression for the round-1 hazard: rank-then-filter ran a global
+    row_number over the whole table on one partition. The fixed plan must
+    take the top-50 via TakeOrderedAndProject (per-partition heaps) BEFORE
+    any Window executes."""
+    p = plan(EQ.q_pr_curve(spark, sf_dir))
+    # round-1 plan had NO TakeOrderedAndProject: a bare global Window ranked
+    # every row, then a filter kept 50. Its presence is the fix — the windows
+    # that remain run over the 50 limited rows (they sit above it in the tree)
+    assert "TakeOrderedAndProject" in p
+    # and the scan reads only the needed columns (no text)
+    rs = p.split("ReadSchema", 1)[1][:200]
+    assert "text" not in rs
+
+
+def test_emb_near_dup_has_no_cartesian(spark, sf_dir):
+    """The all-pairs near-dup candidate join must stay an equi-join on the
+    bucket key — never a CartesianProduct / BroadcastNestedLoopJoin."""
+    p = plan(EQ.q_emb_near_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_capped_band_join_stays_hash_equi(spark, sf_dir):
+    """The bucket-size guard must not change the join strategy of the
+    band self-join (equi hash/SMJ, no nested loop)."""
+    p = plan(EQ.q_minhash_band_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
