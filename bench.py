@@ -384,21 +384,10 @@ def main() -> None:
                 min(eff / hw["hw_efficiency"], 1.0), 3
             ) if hw["hw_efficiency"] > 0 else None,
         }
-        if time.time() - t_start < budget * 0.6:
-            conc = concurrent_builds(n_docs, n_workers=4, cores_each=n_small)
-            sw_eff = hi["files_per_sec"] / conc["aggregate_files_per_sec"]
-            hyp_eff = conc["aggregate_files_per_sec"] / (
-                4.0 * lo["files_per_sec"]
-            )
-            result["scaling"]["concurrent_control"] = conc
-            result["scaling"]["software_parallel_efficiency"] = round(
-                min(sw_eff, 1.0), 3
-            )
-            result["scaling"]["hypervisor_parallel_efficiency"] = round(
-                hyp_eff, 3
-            )
         # second corpus size (round-over-round noise control, VERDICT r1 #10)
-        if time.time() - t_start < budget * 0.75:
+        # — runs BEFORE the concurrent control, whose wall time is the most
+        # volatile section (80-200 s draw-to-draw)
+        if time.time() - t_start < budget * 0.6:
             # reps=3: at the smaller size JIT is still warming at rep 2 (one
             # 300k draw measured 40k/66k/81k f/s across reps at local[16])
             n2 = max(100_000, n_docs // 4)
@@ -412,6 +401,19 @@ def main() -> None:
                     b2["files_per_sec"] / (4.0 * a2["files_per_sec"]), 3
                 ),
             }
+        if time.time() - t_start < budget * 0.75:
+            conc = concurrent_builds(n_docs, n_workers=4, cores_each=n_small)
+            sw_eff = hi["files_per_sec"] / conc["aggregate_files_per_sec"]
+            hyp_eff = conc["aggregate_files_per_sec"] / (
+                4.0 * lo["files_per_sec"]
+            )
+            result["scaling"]["concurrent_control"] = conc
+            result["scaling"]["software_parallel_efficiency"] = round(
+                min(sw_eff, 1.0), 3
+            )
+            result["scaling"]["hypervisor_parallel_efficiency"] = round(
+                hyp_eff, 3
+            )
         if time.time() - t_start < budget:
             # latency over the second-size corpus: the serving path's cost is
             # term-pruned, so p50/p95 barely move with corpus size and the

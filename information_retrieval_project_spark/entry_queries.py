@@ -1188,6 +1188,74 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(assigned, cent, qv, k=10, nprobe=3)
 
 
+def q_ann_ivf_topk_fixed(spark, sf_dir):
+    """IVF search with a FIXED coarse codebook (centroids = the embeddings of
+    vec_id 1..8) so every step — argmin assignment, nprobe=3 probe selection,
+    exact cosine top-10 over probed buckets — is ANSI-SQL-expressible and
+    driver-oracled. The k-means-trained variant (ann_ivf_topk) exercises the
+    same ivf_assign/ivf_topk machinery and stays rows-only because its
+    quantizer is iterative."""
+    import numpy as np
+
+    from .similarity.ann import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") <= 8).collect()
+    }
+    qv = [float(x) for x in rows[0]]
+    cent = np.array([[float(x) for x in rows[c]] for c in range(1, 9)])
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), cent)
+    out = ivf_topk(assigned, cent, qv, k=10, nprobe=3)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+# DuckDB mirror: centroids read from the table itself (vec_id 1..8, centroid
+# index cid = vec_id - 1), assignment = argmin squared distance with the same
+# (score, cid) tie-break as ivf_assign, probes = 3 nearest centroids to the
+# query, then exact cosine top-10 over vectors assigned to probed centroids.
+SQL_ANN_IVF_TOPK_FIXED = """
+    WITH c AS (
+        SELECT vec_id - 1 AS cid, CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    assign AS (
+        SELECT vec_id, e, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY 2.0 * list_dot_product(e, ce) - list_dot_product(ce, ce) DESC,
+                            cid ASC
+               ) AS rk
+        FROM v CROSS JOIN c
+        QUALIFY rk = 1
+    ),
+    probe AS (
+        SELECT cid,
+               row_number() OVER (
+                   ORDER BY 2.0 * list_dot_product(qe, ce) - list_dot_product(ce, ce) DESC,
+                            cid ASC
+               ) AS prk
+        FROM c CROSS JOIN q
+        QUALIFY prk <= 3
+    )
+    SELECT a.vec_id,
+           round(list_dot_product(a.e, q.qe)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))), 5
+           ) AS cosine
+    FROM assign a JOIN probe USING (cid) CROSS JOIN q
+    ORDER BY list_dot_product(a.e, q.qe)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe))) DESC,
+             a.vec_id ASC
+    LIMIT 10
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-heuristic language ID over documents via the textstats module
     path (comparator-lambda argmax over a literal marker map). Oracle-checked:
@@ -1834,6 +1902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "boolean_and_docs": q_boolean_and_docs,
+    "ann_ivf_topk_fixed": q_ann_ivf_topk_fixed,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
@@ -1906,6 +1975,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "boolean_and_docs": SQL_BOOLEAN_AND_DOCS,
+    "ann_ivf_topk_fixed": SQL_ANN_IVF_TOPK_FIXED,
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,

@@ -3,4 +3,5 @@ from .docstore import (  # noqa: F401
     enrich_with_docstore,
     read_docstore,
     register,
+    usda_query_url,
 )

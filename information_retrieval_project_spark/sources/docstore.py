@@ -97,6 +97,19 @@ def read_docstore(
     )
 
 
+def usda_query_url(col, base: str = "https://api.nal.usda.gov/fdc/v1/foods/search?query="):
+    """SURVEY.md F14→F6: the reference's URL-munging replace chain
+    (data_manager.py:268-272: ',' → '%20', '/' → ',', '\"' → ',', ' ' → '')
+    as native column functions — the request itself stays out of scope
+    (non-deterministic I/O); this is the query-string constructor a
+    mapInPandas/DataSource enrichment stage would consume."""
+    munged = F.regexp_replace(col, ",", "%20")
+    munged = F.regexp_replace(munged, "/", ",")
+    munged = F.regexp_replace(munged, '"', ",")
+    munged = F.regexp_replace(munged, " ", "")
+    return F.concat(F.lit(base), munged)
+
+
 def enrich_with_docstore(
     df: DataFrame, store: DataFrame, key_col: str, store_key: str = "doc_key"
 ) -> DataFrame:

@@ -42,3 +42,17 @@ def test_docstore_enrichment_is_a_broadcast_join(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan             # never a per-row lookup
+
+
+def test_usda_query_url_mirrors_reference_replace_chain(spark):
+    """F6: ',' -> %20, '/' -> ',', '\"' -> ',', spaces stripped
+    (data_manager.py:268-272), then concatenated onto the base URL."""
+    from information_retrieval_project_spark.sources.docstore import usda_query_url
+
+    df = spark.createDataFrame(
+        [("red, ripe tomato/diced \"fresh\"",), ("plain salt",)], "ing string"
+    )
+    got = [r["url"] for r in df.select(usda_query_url(F.col("ing")).alias("url")).collect()]
+    base = "https://api.nal.usda.gov/fdc/v1/foods/search?query="
+    assert got[0] == base + "red%20ripetomato,diced,fresh,"
+    assert got[1] == base + "plainsalt"
