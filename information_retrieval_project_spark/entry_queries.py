@@ -1256,6 +1256,31 @@ SQL_ANN_IVF_TOPK_FIXED = """
 """
 
 
+def q_merged_index_df(spark, sf_dir):
+    """Incremental index merge (index/merge.merge_index): build two indexes
+    from an append-only split of the documents table (doc_id parity), merge
+    them, and report (term, df, max_tf) — which the DuckDB oracle computes
+    from the full corpus directly. Byte-level postings identity vs a one-shot
+    build is pytest-proven (test_index_merge); this gate oracles the merged
+    STATISTICS relation."""
+    from .index.build import BuildConfig, build_postings
+    from .index.merge import merge_index
+
+    cfg = BuildConfig(hot_df_threshold=10_000, hot_detection_sample=1.0)
+    tf = _tf(spark, sf_dir)
+    base = build_postings(tf.filter(F.col("doc_id") % 2 == 0), cfg)
+    delta = build_postings(tf.filter(F.col("doc_id") % 2 == 1), cfg)
+    merged = merge_index(base, delta)
+    return merged.select("term", "df", "max_tf")
+
+
+SQL_MERGED_INDEX_DF = f"""
+    SELECT term, count(*) AS df, CAST(max(tf) AS BIGINT) AS max_tf
+    FROM ({_TF_SQL})
+    GROUP BY term
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-heuristic language ID over documents via the textstats module
     path (comparator-lambda argmax over a literal marker map). Oracle-checked:
@@ -1903,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "boolean_and_docs": q_boolean_and_docs,
     "ann_ivf_topk_fixed": q_ann_ivf_topk_fixed,
+    "merged_index_df": q_merged_index_df,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
@@ -1976,6 +2002,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP_PAIRS,
     "boolean_and_docs": SQL_BOOLEAN_AND_DOCS,
     "ann_ivf_topk_fixed": SQL_ANN_IVF_TOPK_FIXED,
+    "merged_index_df": SQL_MERGED_INDEX_DF,
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,

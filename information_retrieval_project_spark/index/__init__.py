@@ -10,6 +10,10 @@ from .build import (  # noqa: F401
     with_doc_id,
     write_index,
 )
+from .merge import (  # noqa: F401
+    merge_doc_stats,
+    merge_index,
+)
 from .codec import (  # noqa: F401
     decode_postings,
     encode_postings,

@@ -1,0 +1,108 @@
+"""Incremental index merge: base index ⊕ delta index → merged index.
+
+north_rule names posting-list *merge* as a first-class capability. The batch
+build merges salted runs within one build (build_postings); this module
+merges ACROSS builds — the daily-increment shape at 10^12-file scale, where
+re-encoding the whole index for a 0.1% corpus delta is unaffordable.
+
+Cost profile: a FULL OUTER join on term (the only shuffle, keyed the same
+way the index is bucketed, so with a bucketed layout it's co-located), then
+- terms touched only by ONE side pass through BYTE-IDENTICAL — no posting
+  decode at all (the overwhelming majority for a small delta);
+- terms present in both sides decode both postings, merge the sorted runs
+  (codec.merge_sorted_runs — sums tf on duplicate doc_ids), and re-encode
+  with fresh block-max metadata in one Arrow pass.
+
+Append-only assumption: delta doc_ids are NEW documents. A re-ingested
+(doc_id, term) pair would have its tf SUMMED (merge_sorted_runs semantics) —
+dedupe replaced documents upstream (dedup.exact_dedup / lineage fingerprints)
+before merging.
+
+Exactness: pytest proves merge_index(build(A), build(B)) is byte-identical
+to build(A ∪ B) — postings, block-max arrays, df, max_tf.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .codec import (
+    block_max_meta,
+    decode_postings,
+    encode_postings,
+    merge_sorted_runs,
+    varbyte_encode,
+)
+
+_IDX_COLS = ["df", "max_tf", "postings", "bm_docs", "bm_tfs"]
+
+
+def _merge_pair_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("df long, max_tf long, postings binary, bm_docs binary, bm_tfs binary")
+    def merge_pair(b_post: pd.Series, d_post: pd.Series) -> pd.DataFrame:
+        dfs, maxtfs, posts, bmds, bmts = [], [], [], [], []
+        for pb, pdl in zip(b_post.values, d_post.values):
+            d1, t1 = decode_postings(bytes(pb))
+            d2, t2 = decode_postings(bytes(pdl))
+            dm, tm = merge_sorted_runs([(d1, t1), (d2, t2)])
+            bm_d, bm_t = block_max_meta(dm, tm)
+            dfs.append(int(dm.size))
+            maxtfs.append(int(tm.max()) if tm.size else 0)
+            posts.append(encode_postings(dm, tm))
+            bmds.append(varbyte_encode(bm_d.astype(np.uint64) + np.uint64(1 << 63)))
+            bmts.append(varbyte_encode(bm_t.astype(np.uint64)))
+        return pd.DataFrame(
+            {
+                "df": dfs,
+                "max_tf": maxtfs,
+                "postings": posts,
+                "bm_docs": bmds,
+                "bm_tfs": bmts,
+            }
+        )
+
+    return merge_pair
+
+
+def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merged compressed index (term, df, max_tf, postings, bm_docs, bm_tfs).
+
+    Segmented indexes (BuildConfig.segment_hot_terms) are not merged here —
+    their increment path is simpler: a new segment row per (term, build), no
+    re-encode at all; this function rejects them explicitly."""
+    for side, df_ in (("base", base), ("delta", delta)):
+        if "segment" in df_.columns:
+            raise ValueError(
+                f"{side} index is segmented: append delta segments as new "
+                "(term, segment) rows instead of merging"
+            )
+    b = base.select("term", *[F.col(c).alias(f"b_{c}") for c in _IDX_COLS])
+    d = delta.select("term", *[F.col(c).alias(f"d_{c}") for c in _IDX_COLS])
+    j = b.join(d, "term", "full_outer")
+    one_sided = j.filter(
+        F.col("b_postings").isNull() | F.col("d_postings").isNull()
+    ).select(
+        "term",
+        *[
+            F.coalesce(F.col(f"b_{c}"), F.col(f"d_{c}")).alias(c)
+            for c in _IDX_COLS
+        ],
+    )
+    both = j.filter(
+        F.col("b_postings").isNotNull() & F.col("d_postings").isNotNull()
+    )
+    merge_pair = _merge_pair_udf()
+    merged = both.withColumn(
+        "_m", merge_pair(F.col("b_postings"), F.col("d_postings"))
+    ).select("term", *[F.col(f"_m.{c}").alias(c) for c in _IDX_COLS])
+    return one_sided.unionByName(merged)
+
+
+def merge_doc_stats(base_ds: DataFrame, delta_ds: DataFrame) -> DataFrame:
+    """Doc stats union for append-only deltas (new doc_ids)."""
+    return base_ds.unionByName(delta_ds)

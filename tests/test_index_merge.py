@@ -1,0 +1,89 @@
+"""Incremental index merge == one-shot build, byte-identical (index/merge).
+
+The north_rule's 'merge' capability across builds: base index ⊕ delta index
+must equal build(base ∪ delta) exactly — postings bytes, block-max arrays,
+df, max_tf — while untouched terms pass through without decode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_project_spark.corpus import generate_corpus
+from information_retrieval_project_spark.index.build import (
+    BuildConfig,
+    build_index,
+    build_postings,
+    tokenize_tf,
+    with_doc_id,
+)
+from information_retrieval_project_spark.index.merge import (
+    merge_doc_stats,
+    merge_index,
+)
+
+CFG = BuildConfig(hot_df_threshold=50, docs_per_salt=100, hot_detection_sample=1.0)
+
+
+def _rows(idx):
+    return {
+        r["term"]: (
+            r["df"],
+            r["max_tf"],
+            bytes(r["postings"]),
+            bytes(r["bm_docs"]),
+            bytes(r["bm_tfs"]),
+        )
+        for r in idx.collect()
+    }
+
+
+def test_merge_equals_oneshot_build(spark):
+    full = generate_corpus(spark, 400, partitions=4).cache()
+    # disjoint append-only split: base 300 files, delta the other 100
+    base_c = full.filter(F.xxhash64("repo", "path", "commit") % 4 != 0)
+    delta_c = full.filter(F.xxhash64("repo", "path", "commit") % 4 == 0)
+    assert 0 < delta_c.count() < full.count()
+
+    base_idx, base_ds, _ = build_index(base_c, CFG)
+    delta_idx, delta_ds, _ = build_index(delta_c, CFG)
+    merged = merge_index(base_idx, delta_idx)
+
+    want_idx, want_ds, _ = build_index(full, CFG)
+    assert _rows(merged) == _rows(want_idx)  # byte-identical postings + meta
+
+    got_ds = {r["doc_id"]: r["doc_len"] for r in merge_doc_stats(base_ds, delta_ds).collect()}
+    want = {r["doc_id"]: r["doc_len"] for r in want_ds.collect()}
+    assert got_ds == want
+
+
+def test_merge_handles_vocab_only_in_one_side(spark):
+    """Terms exclusive to one side must pass through byte-identical."""
+    a = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "alpha alpha shared")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b = spark.createDataFrame(
+        [("r", "b.py", "c1", "py", "beta shared")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ia = build_postings(tokenize_tf(with_doc_id(a)), CFG)
+    ib = build_postings(tokenize_tf(with_doc_id(b)), CFG)
+    m = _rows(merge_index(ia, ib))
+    ra, rb = _rows(ia), _rows(ib)
+    assert m["alpha"] == ra["alpha"]          # base-only: untouched bytes
+    assert m["beta"] == rb["beta"]            # delta-only: untouched bytes
+    assert m["shared"][0] == 2                # both: merged df
+    full = a.unionByName(b)
+    want = _rows(build_postings(tokenize_tf(with_doc_id(full)), CFG))
+    assert m == want
+
+
+def test_merge_rejects_segmented_index(spark):
+    c = generate_corpus(spark, 60, partitions=2)
+    seg_cfg = BuildConfig(
+        hot_df_threshold=5, docs_per_salt=10, hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    seg = build_postings(tokenize_tf(with_doc_id(c)), seg_cfg)
+    flat = build_postings(tokenize_tf(with_doc_id(c)), CFG)
+    with pytest.raises(ValueError, match="segmented"):
+        merge_index(seg, flat)
