@@ -106,3 +106,36 @@ def merge_index(base: DataFrame, delta: DataFrame) -> DataFrame:
 def merge_doc_stats(base_ds: DataFrame, delta_ds: DataFrame) -> DataFrame:
     """Doc stats union for append-only deltas (new doc_ids)."""
     return base_ds.unionByName(delta_ds)
+
+
+def append_segments(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Increment a SEGMENTED index (BuildConfig.segment_hot_terms): the new
+    build's rows become additional (term, segment) rows — zero posting
+    decode/re-encode — and only the slim df column is refreshed, because df
+    on every segment row is the TERM-TOTAL (CLAUDE.md invariant: query paths
+    distinct it before idf and sum per-doc contributions across segments).
+
+    Per-term totals come from one distinct row per side (df is identical on
+    every segment row of a term), added with a full-outer join; delta segment
+    ids are offset past the base's max so (term, segment) stays unique."""
+    for side, df_ in (("base", base), ("delta", delta)):
+        if "segment" not in df_.columns:
+            raise ValueError(f"{side} index is not segmented; use merge_index")
+    offset_row = base.agg(F.max("segment").alias("m")).collect()[0]
+    offset = int(offset_row["m"] if offset_row["m"] is not None else -1) + 1
+    b_tot = base.select("term", F.col("df").alias("b_df")).distinct()
+    d_tot = delta.select("term", F.col("df").alias("d_df")).distinct()
+    tot = b_tot.join(d_tot, "term", "full_outer").select(
+        "term",
+        (F.coalesce("b_df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias(
+            "_new_df"
+        ),
+    )
+    shifted = delta.withColumn("segment", F.col("segment") + F.lit(offset))
+    all_rows = base.unionByName(shifted)
+    return (
+        all_rows.drop("df")
+        .join(tot, "term")
+        .withColumnRenamed("_new_df", "df")
+        .select(*base.columns)
+    )

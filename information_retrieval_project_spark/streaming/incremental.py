@@ -14,10 +14,15 @@ the batch and streaming ingest paths share one implementation.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+from glob import glob
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import tokenize_tf, with_doc_id
+from ..index.build import BuildConfig, build_postings, tokenize_tf, with_doc_id
 
 CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
 
@@ -49,6 +54,57 @@ def incremental_tf_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_index_update(
+    spark: SparkSession,
+    tf_dir: str,
+    out_dir: str,
+    cfg: BuildConfig = BuildConfig(),
+) -> dict:
+    """Maintain a SERVED index over the append-only tf stream: merge only the
+    tf part-files that arrived since the last update into the stored index
+    (index/merge.merge_index — untouched terms pass through byte-identical,
+    no re-encode), instead of rebuilding from all of history.
+
+    This closes the loop with incremental_tf_ingest: the streaming source
+    appends tf parquet per batch; this updater makes the index catch up in
+    O(delta) work. State = the list of incorporated part-file names
+    (JSON sidecar); the index swap is write-to-tmp + rename (an Iceberg
+    snapshot commit at cluster scale — same idempotence argument as
+    pipelines/lineage.py). Append-only: re-ingesting a document would sum
+    its tf into existing postings; dedupe upstream."""
+    os.makedirs(out_dir, exist_ok=True)
+    state_path = os.path.join(out_dir, "incorporated.json")
+    incorporated: set[str] = set()
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            incorporated = set(json.load(f))
+    files = sorted(glob(os.path.join(tf_dir, "*.parquet")))
+    new = [f for f in files if os.path.basename(f) not in incorporated]
+    if not new:
+        return {"mode": "noop", "new_files": 0}
+    delta_idx = build_postings(spark.read.parquet(*new), cfg)
+    idx_path = os.path.join(out_dir, "index")
+    if os.path.exists(idx_path):
+        from ..index.merge import merge_index
+
+        merged = merge_index(spark.read.parquet(idx_path), delta_idx)
+        mode = "merged"
+    else:
+        merged, mode = delta_idx, "initial"
+    tmp, old = idx_path + "_tmp", idx_path + "_old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(idx_path):
+        os.rename(idx_path, old)
+    os.rename(tmp, idx_path)
+    shutil.rmtree(old, ignore_errors=True)
+    incorporated |= {os.path.basename(f) for f in new}
+    with open(state_path, "w") as f:
+        json.dump(sorted(incorporated), f)
+    return {"mode": mode, "new_files": len(new)}
 
 
 def windowed_event_counts(

@@ -87,3 +87,55 @@ def test_merge_rejects_segmented_index(spark):
     flat = build_postings(tokenize_tf(with_doc_id(c)), CFG)
     with pytest.raises(ValueError, match="segmented"):
         merge_index(seg, flat)
+
+
+def test_append_segments_increments_segmented_index(spark):
+    """Segmented increment: delta rows appended as new segments, df refreshed
+    to the term total, and BM25 over the appended index == over a one-shot
+    segmented build of the full corpus."""
+    from information_retrieval_project_spark.index.build import (
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.index.merge import append_segments
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    seg_cfg = BuildConfig(
+        hot_df_threshold=20, docs_per_salt=50, hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    full = generate_corpus(spark, 300, partitions=3).cache()
+    base_c = full.filter(F.xxhash64("repo", "path", "commit") % 3 != 0)
+    delta_c = full.filter(F.xxhash64("repo", "path", "commit") % 3 == 0)
+
+    tf_full = tokenize_tf(with_doc_id(full)).cache()
+    base = build_postings(tokenize_tf(with_doc_id(base_c)), seg_cfg)
+    delta = build_postings(tokenize_tf(with_doc_id(delta_c)), seg_cfg)
+    appended = append_segments(base, delta).cache()
+
+    # df on every row is the term total of the full corpus
+    want_df = {
+        r["term"]: r["n"]
+        for r in tf_full.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    for r in appended.select("term", "df").distinct().collect():
+        assert r["df"] == want_df[r["term"]], r["term"]
+    # (term, segment) unique after the offset
+    n_rows = appended.count()
+    assert appended.select("term", "segment").distinct().count() == n_rows
+
+    ds = doc_stats(tf_full).cache()
+    cs = collection_stats(ds).collect()[0]
+    toks = ["def", "return", "import"]
+    got = bm25_topk_compressed(
+        spark, appended, ds, cs["n_docs"], cs["avgdl"], toks, k=10
+    ).collect()
+    oneshot = build_postings(tf_full, seg_cfg)
+    want = bm25_topk_compressed(
+        spark, oneshot, ds, cs["n_docs"], cs["avgdl"], toks, k=10
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]

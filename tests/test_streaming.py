@@ -66,3 +66,48 @@ def test_windowed_event_counts_batch_semantics(spark, sf_dir):
     # window bounds are day-aligned and disjoint per event_type
     rows = out.collect()
     assert all(r["window_start"] < r["window_end"] for r in rows)
+
+
+def test_incremental_index_update_merges_only_new_files(spark, tmp_path):
+    """Stream→index lifecycle: updates incorporate only newly-arrived tf
+    files (index/merge), and the maintained index equals a one-shot build
+    over the full corpus — byte-identical postings."""
+    import pandas as pd
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+    )
+    from information_retrieval_project_spark.streaming.incremental import (
+        incremental_index_update,
+    )
+
+    tf_dir = str(tmp_path / "tf2")
+    out = str(tmp_path / "idx2")
+    cfg = BuildConfig(hot_df_threshold=10_000, hot_detection_sample=1.0)
+    p1 = generate_pdf(60, start=0)
+    p2 = generate_pdf(60, start=60)
+
+    tokenize_tf(with_doc_id(spark.createDataFrame(p1))).coalesce(1).write.mode(
+        "append"
+    ).parquet(tf_dir)
+    r1 = incremental_index_update(spark, tf_dir, out, cfg)
+    assert r1["mode"] == "initial" and r1["new_files"] >= 1
+    assert incremental_index_update(spark, tf_dir, out, cfg)["mode"] == "noop"
+
+    tokenize_tf(with_doc_id(spark.createDataFrame(p2))).coalesce(1).write.mode(
+        "append"
+    ).parquet(tf_dir)
+    r2 = incremental_index_update(spark, tf_dir, out, cfg)
+    assert r2["mode"] == "merged" and r2["new_files"] >= 1
+
+    got = {
+        r["term"]: (r["df"], bytes(r["postings"]))
+        for r in spark.read.parquet(f"{out}/index").collect()
+    }
+    full = spark.createDataFrame(pd.concat([p1, p2], ignore_index=True))
+    want = {
+        r["term"]: (r["df"], bytes(r["postings"]))
+        for r in build_postings(tokenize_tf(with_doc_id(full)), cfg).collect()
+    }
+    assert got == want
