@@ -1281,6 +1281,30 @@ SQL_MERGED_INDEX_DF = f"""
 """
 
 
+def q_deleted_index_df(spark, sf_dir):
+    """Tombstone delete (index/merge.delete_docs): build the full index,
+    delete every odd-doc_id document, report (term, df, max_tf) — the oracle
+    computes the same relation from the surviving documents directly.
+    Byte-level identity with a rebuild is pytest-proven (test_index_merge)."""
+    from .index.build import BuildConfig, build_postings
+    from .index.merge import delete_docs
+
+    cfg = BuildConfig(hot_df_threshold=10_000, hot_detection_sample=1.0)
+    tf = _tf(spark, sf_dir)
+    idx = build_postings(tf, cfg)
+    victims = tf.filter(F.col("doc_id") % 2 == 1).select("doc_id", "term")
+    out = delete_docs(idx, victims)
+    return out.select("term", "df", "max_tf")
+
+
+SQL_DELETED_INDEX_DF = f"""
+    SELECT term, count(*) AS df, CAST(max(tf) AS BIGINT) AS max_tf
+    FROM ({_TF_SQL})
+    WHERE doc_id % 2 = 0
+    GROUP BY term
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-heuristic language ID over documents via the textstats module
     path (comparator-lambda argmax over a literal marker map). Oracle-checked:
@@ -1929,6 +1953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_and_docs": q_boolean_and_docs,
     "ann_ivf_topk_fixed": q_ann_ivf_topk_fixed,
     "merged_index_df": q_merged_index_df,
+    "deleted_index_df": q_deleted_index_df,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
@@ -2003,6 +2028,7 @@ ORACLE_SQL: dict[str, str] = {
     "boolean_and_docs": SQL_BOOLEAN_AND_DOCS,
     "ann_ivf_topk_fixed": SQL_ANN_IVF_TOPK_FIXED,
     "merged_index_df": SQL_MERGED_INDEX_DF,
+    "deleted_index_df": SQL_DELETED_INDEX_DF,
     "simhash16": SQL_SIMHASH16,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "nation_volume": SQL_NATION_VOLUME,

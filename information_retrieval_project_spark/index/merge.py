@@ -108,6 +108,69 @@ def merge_doc_stats(base_ds: DataFrame, delta_ds: DataFrame) -> DataFrame:
     return base_ds.unionByName(delta_ds)
 
 
+def _delete_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("df long, max_tf long, postings binary, bm_docs binary, bm_tfs binary")
+    def drop_docs(post: pd.Series, victims: pd.Series) -> pd.DataFrame:
+        dfs, maxtfs, posts, bmds, bmts = [], [], [], [], []
+        for pb, vs in zip(post.values, victims.values):
+            d, t = decode_postings(bytes(pb))
+            keep = ~np.isin(d, np.asarray(vs, dtype=np.int64))
+            d, t = d[keep], t[keep]
+            bm_d, bm_t = block_max_meta(d, t)
+            dfs.append(int(d.size))
+            maxtfs.append(int(t.max()) if t.size else 0)
+            posts.append(encode_postings(d, t))
+            bmds.append(varbyte_encode(bm_d.astype(np.uint64) + np.uint64(1 << 63)))
+            bmts.append(varbyte_encode(bm_t.astype(np.uint64)))
+        return pd.DataFrame(
+            {
+                "df": dfs,
+                "max_tf": maxtfs,
+                "postings": posts,
+                "bm_docs": bmds,
+                "bm_tfs": bmts,
+            }
+        )
+
+    return drop_docs
+
+
+def delete_docs(index: DataFrame, doc_terms: DataFrame) -> DataFrame:
+    """Tombstone-delete documents from a compressed index without a rebuild
+    (the GDPR/right-to-forget shape at 10^12-file scale).
+
+    doc_terms: the (doc_id, term) relation of the documents to delete — the
+    lineage tf units (pipelines/lineage.py) or a tokenize pass over the
+    victim documents provide it. Only terms CONTAINING a victim decode +
+    re-encode; every other term passes through byte-identical via a left
+    anti-ish split. Terms whose posting list empties out are dropped."""
+    if "segment" in index.columns:
+        raise ValueError(
+            "segmented index: delete per (term, segment) row instead"
+        )
+    victims = (
+        doc_terms.select("term", "doc_id").distinct()
+        .groupBy("term")
+        .agg(F.collect_list("doc_id").alias("_victims"))
+    )
+    # no broadcast hint: victim sets range from a handful (AQE converts the
+    # SMJ to broadcast at runtime) to bulk purges where broadcasting would OOM
+    j = index.join(victims, "term", "left")
+    untouched = j.filter(F.col("_victims").isNull()).drop("_victims")
+    drop = _delete_udf()
+    touched = (
+        j.filter(F.col("_victims").isNotNull())
+        .withColumn("_m", drop(F.col("postings"), F.col("_victims")))
+        .select(
+            "term", *[F.col(f"_m.{c}").alias(c) for c in _IDX_COLS]
+        )
+        .filter(F.col("df") > 0)
+    )
+    return untouched.select("term", *_IDX_COLS).unionByName(touched)
+
+
 def append_segments(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Increment a SEGMENTED index (BuildConfig.segment_hot_terms): the new
     build's rows become additional (term, segment) rows — zero posting

@@ -139,3 +139,25 @@ def test_append_segments_increments_segmented_index(spark):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_delete_docs_equals_rebuild_without_them(spark):
+    """Tombstone delete == one-shot build over the surviving corpus,
+    byte-identical; untouched terms pass through; emptied terms vanish."""
+    from information_retrieval_project_spark.index.merge import delete_docs
+
+    full = generate_corpus(spark, 300, partitions=3).cache()
+    ids = with_doc_id(full)
+    tf = tokenize_tf(ids).cache()
+    idx = build_postings(tf, CFG)
+
+    victims_ids = ids.filter(F.xxhash64("repo", "path") % 5 == 0)
+    victim_tf = tokenize_tf(victims_ids)
+    assert 0 < victims_ids.count() < full.count()
+
+    got = _rows(delete_docs(idx, victim_tf.select("doc_id", "term")))
+    survivors = ids.join(
+        victims_ids.select("doc_id"), "doc_id", "left_anti"
+    )
+    want = _rows(build_postings(tokenize_tf(survivors), CFG))
+    assert got == want
