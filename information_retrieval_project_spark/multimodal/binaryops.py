@@ -95,6 +95,57 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
 
 
+def resize_stub(
+    img: np.ndarray, height: int, width: int, fake: bool = False
+) -> np.ndarray:
+    """Resize a decoded image. STUB (same policy as decode): the real path
+    needs an interpolation library; the fake path is a deterministic
+    stride-based nearest-neighbor downsample so the Spark-side plumbing —
+    shapes, batching, output schema — is fully testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an interpolation library (PIL/opencv) "
+            "not present in this sandbox"
+        )
+    h, w = img.shape[0], img.shape[1]
+    ys = np.linspace(0, h - 1, height).astype(np.int64)
+    xs = np.linspace(0, w - 1, width).astype(np.int64)
+    return img[ys][:, xs]
+
+
+RESIZED_SCHEMA = (
+    "media_id long, height int, width int, resized_sha string"
+)
+
+
+def resize_images(
+    media: DataFrame, height: int = 8, width: int = 8, fake: bool = True
+) -> DataFrame:
+    """media(media_id, payload) → typed metadata of the resized image
+    (decode → resize in one Arrow pass; payload bytes never leave the
+    executor). A real pipeline would also emit the resized bytes — the stub
+    emits their sha256 so determinism is assertable."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, shas = [], [], [], []
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                img = decode_image_stub(bytes(payload), fake=fake)
+                out = resize_stub(img, height, width, fake=fake)
+                ids.append(media_id)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                shas.append(hashlib.sha256(out.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "height": hs, "width": ws, "resized_sha": shas}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
 FEATURE_SCHEMA = "media_id long, feature array<float>"
 
 

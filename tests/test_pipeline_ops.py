@@ -309,3 +309,24 @@ def test_sample_frames_fanout(spark):
     # frame digests are deterministic and distinct per frame index
     shas = [r["frame_sha"] for r in sorted(per[1], key=lambda x: x["frame_no"])]
     assert len(set(shas)) == len(shas)
+
+
+def test_resize_images_plumbing(spark):
+    """Resize verb: deterministic fake path with typed output schema; the
+    real path refuses loudly (no codec libs in the sandbox)."""
+    from information_retrieval_project_spark.multimodal.binaryops import (
+        resize_images,
+        resize_stub,
+    )
+
+    rows = [(i, bytes([i]) * (400 + i)) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8, fake=True).collect()}
+    assert len(out) == 6
+    assert all(r["height"] == 8 and r["width"] == 8 for r in out.values())
+    again = {r["media_id"]: r for r in resize_images(media, 8, 8, fake=True).collect()}
+    assert {k: v["resized_sha"] for k, v in out.items()} == {
+        k: v["resized_sha"] for k, v in again.items()
+    }
+    with pytest.raises(NotImplementedError):
+        resize_stub(np.zeros((4, 4)), 2, 2, fake=False)
