@@ -206,6 +206,9 @@ def concurrent_builds(n_docs: int, n_workers: int, cores_each: int) -> dict:
     return {
         "n_workers": n_workers,
         "cores_each": cores_each,
+        # per-worker seconds show whether the wall was one noisy straggler
+        # or uniform slowdown (hypervisor steal hits all four alike)
+        "worker_sec": sorted(round(t, 2) for t in times),
         "wall_sec": round(wall, 3),
         "aggregate_files_per_sec": round(n_workers * n_docs / wall, 2),
     }

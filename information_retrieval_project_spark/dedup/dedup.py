@@ -54,7 +54,7 @@ def minhash_signatures(
     return shingle_df.groupBy("doc_id").agg(*aggs)
 
 
-def _cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+def cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Drop rows whose (keys) bucket holds more than `cap` members.
 
     Skew guard for self-join candidate generation (VERDICT r1 #7): one
@@ -91,7 +91,7 @@ def minhash_lsh_pairs(
             F.xxhash64(*cols).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    bands = _cap_buckets(bands, ["band", "key"], max_bucket)
+    bands = cap_buckets(bands, ["band", "key"], max_bucket)
     a, bd = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -117,7 +117,7 @@ def ngram_jaccard_pairs(
     lower bound for pairs that shared a hot shingle; with max_df ≥ corpus
     size the result is exact."""
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = _cap_buckets(shingle_df, ["shingle"], max_df)
+    rare = cap_buckets(shingle_df, ["shingle"], max_df)
     inter = (
         rare.alias("a")
         .join(
@@ -222,7 +222,7 @@ def simhash_near_dup_pairs(
             F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
         )
         blocks = b if blocks is None else blocks.unionByName(b)
-    blocks = _cap_buckets(blocks, ["blk", "key"], max_bucket)
+    blocks = cap_buckets(blocks, ["blk", "key"], max_bucket)
     a, bd = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(

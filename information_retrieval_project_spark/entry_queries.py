@@ -356,7 +356,7 @@ def q_minhash_band_pairs(spark, sf_dir):
     Classic MinHash-LSH (Broder; MMDS ch.3) as a self-join on band keys,
     with the skew guard of dedup.minhash_lsh_pairs: buckets above 1000
     members are skipped before the self-join (oracle mirrors the HAVING)."""
-    from .dedup.dedup import _cap_buckets
+    from .dedup.dedup import cap_buckets
 
     sig = q_minhash_signatures(spark, sf_dir)
     bands = None
@@ -367,7 +367,7 @@ def q_minhash_band_pairs(spark, sf_dir):
             F.concat(F.col(f"h{2 * bidx}"), F.col(f"h{2 * bidx + 1}")).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    bands = _cap_buckets(bands, ["band", "key"], 1000)
+    bands = cap_buckets(bands, ["band", "key"], 1000)
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -405,11 +405,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     Join-based set-similarity (the scalable form of pairwise Jaccard), with
     the document-frequency cap of dedup.ngram_jaccard_pairs: shingles in
     >1000 docs are excluded before the self-join (oracle mirrors it)."""
-    from .dedup.dedup import _cap_buckets
+    from .dedup.dedup import cap_buckets
 
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = _cap_buckets(sh, ["shingle"], 1000)
+    rare = cap_buckets(sh, ["shingle"], 1000)
     inter = (
         rare.alias("a")
         .join(rare.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

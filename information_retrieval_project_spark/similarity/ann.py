@@ -154,7 +154,7 @@ def lsh_near_dup_pairs(
     an O(n²) cross — then the exact cosine filter runs only on candidates.
     Deterministic given the seed-derived planes; recall < 1 by construction
     (standard LSH dedup semantics). Buckets above max_bucket are dropped
-    (skew guard, same rationale as dedup._cap_buckets)."""
+    (skew guard, same rationale as dedup.cap_buckets)."""
     if probe_hamming > 1:
         raise ValueError("probe expansion implemented for hamming <= 1")
     b = rp_lsh_buckets(emb, planes)
