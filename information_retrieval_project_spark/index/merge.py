@@ -108,6 +108,32 @@ def merge_doc_stats(base_ds: DataFrame, delta_ds: DataFrame) -> DataFrame:
     return base_ds.unionByName(delta_ds)
 
 
+def write_index_table(idx: DataFrame, table: str, n_buckets: int = 32) -> None:
+    """Persist an index as a Hive-BUCKETED catalog table
+    (bucketBy(term) + sortBy(term)): two indexes stored this way full-outer
+    join on term with NO shuffle on either side — the SortMergeJoin reads
+    co-located, pre-sorted buckets (tests/test_index_merge asserts the plan
+    has no hash-partitioning Exchange; Catalyst additionally broadcasts the
+    small delta for the overlap branch, which moves nothing of the base).
+    This is the at-scale layout for merge_index: a daily delta joins a
+    10^12-file base index without moving the base."""
+    (
+        idx.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+
+
+def merge_index_colocated(
+    spark, base_table: str, delta_table: str
+) -> DataFrame:
+    """merge_index over two bucketed catalog tables (write_index_table) —
+    identical semantics, shuffle-free join."""
+    return merge_index(spark.table(base_table), spark.table(delta_table))
+
+
 def _delete_udf():
     from pyspark.sql.functions import pandas_udf
 
