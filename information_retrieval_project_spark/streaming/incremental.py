@@ -65,7 +65,9 @@ def incremental_index_update(
     """Maintain a SERVED index over the append-only tf stream: merge only the
     tf part-files that arrived since the last update into the stored index
     (index/merge.merge_index — untouched terms pass through byte-identical,
-    no re-encode), instead of rebuilding from all of history.
+    no re-encode), instead of rebuilding from all of history. doc_stats and
+    collection_stats are maintained alongside, so the out_dir is directly
+    servable by queryexec after every update.
 
     This closes the loop with incremental_tf_ingest: the streaming source
     appends tf parquet per batch; this updater makes the index catch up in
@@ -84,23 +86,36 @@ def incremental_index_update(
     new = [f for f in files if os.path.basename(f) not in incorporated]
     if not new:
         return {"mode": "noop", "new_files": 0}
-    delta_idx = build_postings(spark.read.parquet(*new), cfg)
+    from ..index.build import collection_stats, doc_stats
+
+    delta_tf = spark.read.parquet(*new)
+    delta_idx = build_postings(delta_tf, cfg)
+    delta_ds = doc_stats(delta_tf)
     idx_path = os.path.join(out_dir, "index")
+    ds_path = os.path.join(out_dir, "doc_stats")
+    cs_path = os.path.join(out_dir, "collection_stats")
     if os.path.exists(idx_path):
-        from ..index.merge import merge_index
+        from ..index.merge import merge_doc_stats, merge_index
 
         merged = merge_index(spark.read.parquet(idx_path), delta_idx)
+        ds = merge_doc_stats(spark.read.parquet(ds_path), delta_ds)
         mode = "merged"
     else:
-        merged, mode = delta_idx, "initial"
-    tmp, old = idx_path + "_tmp", idx_path + "_old"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(idx_path):
-        os.rename(idx_path, old)
-    os.rename(tmp, idx_path)
-    shutil.rmtree(old, ignore_errors=True)
+        merged, ds, mode = delta_idx, delta_ds, "initial"
+
+    def _swap(df, path):
+        tmp, old = path + "_tmp", path + "_old"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    _swap(merged, idx_path)
+    _swap(ds, ds_path)
+    _swap(collection_stats(spark.read.parquet(ds_path)), cs_path)
     incorporated |= {os.path.basename(f) for f in new}
     with open(state_path, "w") as f:
         json.dump(sorted(incorporated), f)

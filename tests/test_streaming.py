@@ -111,3 +111,31 @@ def test_incremental_index_update_merges_only_new_files(spark, tmp_path):
         for r in build_postings(tokenize_tf(with_doc_id(full)), cfg).collect()
     }
     assert got == want
+
+    # the maintained out_dir is directly SERVABLE: BM25 over the maintained
+    # index + stats equals serving a one-shot batch build
+    from information_retrieval_project_spark.index.build import (
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    m_idx = spark.read.parquet(f"{out}/index")
+    m_ds = spark.read.parquet(f"{out}/doc_stats")
+    m_cs = spark.read.parquet(f"{out}/collection_stats").collect()[0]
+    toks = ["def", "return", "import"]
+    got_q = bm25_topk_compressed(
+        spark, m_idx, m_ds, m_cs["n_docs"], m_cs["avgdl"], toks, k=10
+    ).collect()
+    tf_full = tokenize_tf(with_doc_id(full)).cache()
+    b_ds = doc_stats(tf_full)
+    b_cs = collection_stats(b_ds).collect()[0]
+    want_q = bm25_topk_compressed(
+        spark, build_postings(tf_full, cfg), b_ds,
+        b_cs["n_docs"], b_cs["avgdl"], toks, k=10,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got_q] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want_q
+    ]
