@@ -108,6 +108,23 @@ def merge_doc_stats(base_ds: DataFrame, delta_ds: DataFrame) -> DataFrame:
     return base_ds.unionByName(delta_ds)
 
 
+def compact_segments(seg_idx: DataFrame, cfg) -> DataFrame:
+    """Compact a segmented index whose segment count has grown through
+    append_segments: decode every segment back to slim (term, doc_id, tf)
+    triples (queryexec.wand.decode_candidates — a streaming mapInPandas) and
+    re-run the salted posting build over them. No corpus scan: the index IS
+    the input, so compaction costs one decode + one build over triples —
+    independent of the original content size. Equals a one-shot segmented
+    build of the same tf exactly (tested)."""
+    if "segment" not in seg_idx.columns:
+        raise ValueError("compact_segments expects a segmented index")
+    from ..index.build import build_postings
+    from ..queryexec.wand import decode_candidates
+
+    tf = decode_candidates(seg_idx)
+    return build_postings(tf, cfg)
+
+
 def write_index_table(idx: DataFrame, table: str, n_buckets: int = 32) -> None:
     """Persist an index as a Hive-BUCKETED catalog table
     (bucketBy(term) + sortBy(term)): two indexes stored this way full-outer

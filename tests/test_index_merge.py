@@ -195,3 +195,39 @@ def test_colocated_merge_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS idx_base_t")
         spark.sql("DROP TABLE IF EXISTS idx_delta_t")
+
+
+def test_compact_segments_equals_oneshot_segmented_build(spark):
+    """After appends grow the segment count, compaction (decode → rebuild
+    from the index itself, no corpus scan) reproduces the one-shot segmented
+    build byte-for-byte."""
+    from information_retrieval_project_spark.index.merge import (
+        append_segments,
+        compact_segments,
+    )
+
+    seg_cfg = BuildConfig(
+        hot_df_threshold=20, docs_per_salt=50, hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    full = generate_corpus(spark, 240, partitions=2).cache()
+    # pmod, not %: Spark's % keeps the dividend's sign, so `% 2 == 1`
+    # silently drops negative-hash docs from the split
+    a = full.filter(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 0)
+    b = full.filter(F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2)) == 1)
+    appended = append_segments(
+        build_postings(tokenize_tf(with_doc_id(a)), seg_cfg),
+        build_postings(tokenize_tf(with_doc_id(b)), seg_cfg),
+    )
+    compacted = compact_segments(appended, seg_cfg)
+    oneshot = build_postings(tokenize_tf(with_doc_id(full)), seg_cfg)
+
+    def seg_rows(df):
+        return {
+            (r["term"], r["segment"]): (r["df"], bytes(r["postings"]))
+            for r in df.collect()
+        }
+
+    assert seg_rows(compacted) == seg_rows(oneshot)
+    # compaction reduced the appended segment fan-out (or kept it equal)
+    assert compacted.count() <= appended.count()
