@@ -56,6 +56,56 @@ def incremental_tf_ingest(
     q.awaitTermination()
 
 
+def _read_current(out_dir: str) -> tuple[str, str] | None:
+    """(snapshot_name, snapshot_path) the CURRENT pointer commits to, or None.
+    A pointer naming a missing directory is corruption, not a fresh start —
+    silently rebuilding from only new files would drop all history."""
+    cur = os.path.join(out_dir, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        name = f.read().strip()
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        raise RuntimeError(
+            f"CURRENT points at missing snapshot {name!r} in {out_dir}"
+        )
+    return name, path
+
+
+def _recover(out_dir: str, current_name: str | None) -> None:
+    """Drop uncommitted leftovers from a crashed update: staging dirs and
+    snapshot dirs newer than CURRENT (published data whose state commit never
+    happened). The committed snapshot is never touched."""
+    cur_id = int(current_name[1:]) if current_name else -1
+    for entry in os.listdir(out_dir):
+        p = os.path.join(out_dir, entry)
+        if entry.startswith("_staging_"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) > cur_id:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def current_snapshot_dir(out_dir: str) -> str:
+    """Path of the committed snapshot (contains index/, doc_stats/,
+    collection_stats/, incorporated.json)."""
+    cur = _read_current(out_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot in {out_dir}")
+    return cur[1]
+
+
+def read_served_index(spark: SparkSession, out_dir: str):
+    """(index, doc_stats, collection_stats) DataFrames of the committed
+    snapshot — the serving handle for queryexec."""
+    snap = current_snapshot_dir(out_dir)
+    return (
+        spark.read.parquet(os.path.join(snap, "index")),
+        spark.read.parquet(os.path.join(snap, "doc_stats")),
+        spark.read.parquet(os.path.join(snap, "collection_stats")),
+    )
+
+
 def incremental_index_update(
     spark: SparkSession,
     tf_dir: str,
@@ -66,60 +116,71 @@ def incremental_index_update(
     tf part-files that arrived since the last update into the stored index
     (index/merge.merge_index — untouched terms pass through byte-identical,
     no re-encode), instead of rebuilding from all of history. doc_stats and
-    collection_stats are maintained alongside, so the out_dir is directly
-    servable by queryexec after every update.
+    collection_stats are maintained alongside; read_served_index(out_dir)
+    is directly servable by queryexec after every update.
 
-    This closes the loop with incremental_tf_ingest: the streaming source
-    appends tf parquet per batch; this updater makes the index catch up in
-    O(delta) work. State = the list of incorporated part-file names
-    (JSON sidecar); the index swap is write-to-tmp + rename (an Iceberg
-    snapshot commit at cluster scale — same idempotence argument as
-    pipelines/lineage.py). Append-only: re-ingesting a document would sum
+    Crash idempotence (the merge is ADDITIVE — re-applying a delta would SUM
+    tf into existing postings — so state and data must commit together):
+    every update writes a complete versioned snapshot dir
+    (index/ + doc_stats/ + collection_stats/ + incorporated.json) under
+    _staging_vN, publishes it with ONE os.rename to vN, then flips the
+    CURRENT pointer file atomically (write tmp + os.replace). A crash at any
+    point leaves CURRENT on the previous consistent snapshot; the next run
+    garbage-collects staging dirs and never-committed snapshots and re-merges
+    the same new files against the unchanged base. At cluster scale the
+    snapshot commit is an Iceberg snapshot (atomic data+metadata), which is
+    exactly this protocol. Append-only: re-ingesting a document would sum
     its tf into existing postings; dedupe upstream."""
     os.makedirs(out_dir, exist_ok=True)
-    state_path = os.path.join(out_dir, "incorporated.json")
+    cur = _read_current(out_dir)
+    cur_name = cur[0] if cur else None
+    _recover(out_dir, cur_name)
     incorporated: set[str] = set()
-    if os.path.exists(state_path):
-        with open(state_path) as f:
+    if cur:
+        with open(os.path.join(cur[1], "incorporated.json")) as f:
             incorporated = set(json.load(f))
     files = sorted(glob(os.path.join(tf_dir, "*.parquet")))
     new = [f for f in files if os.path.basename(f) not in incorporated]
     if not new:
-        return {"mode": "noop", "new_files": 0}
+        return {"mode": "noop", "new_files": 0, "snapshot": cur_name}
     from ..index.build import collection_stats, doc_stats
 
     delta_tf = spark.read.parquet(*new)
     delta_idx = build_postings(delta_tf, cfg)
     delta_ds = doc_stats(delta_tf)
-    idx_path = os.path.join(out_dir, "index")
-    ds_path = os.path.join(out_dir, "doc_stats")
-    cs_path = os.path.join(out_dir, "collection_stats")
-    if os.path.exists(idx_path):
+    if cur:
         from ..index.merge import merge_doc_stats, merge_index
 
-        merged = merge_index(spark.read.parquet(idx_path), delta_idx)
-        ds = merge_doc_stats(spark.read.parquet(ds_path), delta_ds)
+        merged = merge_index(
+            spark.read.parquet(os.path.join(cur[1], "index")), delta_idx
+        )
+        ds = merge_doc_stats(
+            spark.read.parquet(os.path.join(cur[1], "doc_stats")), delta_ds
+        )
         mode = "merged"
     else:
         merged, ds, mode = delta_idx, delta_ds, "initial"
 
-    def _swap(df, path):
-        tmp, old = path + "_tmp", path + "_old"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-
-    _swap(merged, idx_path)
-    _swap(ds, ds_path)
-    _swap(collection_stats(spark.read.parquet(ds_path)), cs_path)
+    next_id = (int(cur_name[1:]) if cur_name else 0) + 1
+    next_name = f"v{next_id:06d}"
+    staging = os.path.join(out_dir, f"_staging_{next_name}")
+    merged.write.mode("overwrite").parquet(os.path.join(staging, "index"))
+    ds.write.mode("overwrite").parquet(os.path.join(staging, "doc_stats"))
+    collection_stats(
+        spark.read.parquet(os.path.join(staging, "doc_stats"))
+    ).write.mode("overwrite").parquet(os.path.join(staging, "collection_stats"))
     incorporated |= {os.path.basename(f) for f in new}
-    with open(state_path, "w") as f:
+    with open(os.path.join(staging, "incorporated.json"), "w") as f:
         json.dump(sorted(incorporated), f)
-    return {"mode": mode, "new_files": len(new)}
+    # one rename publishes data AND state together; the pointer flip commits
+    os.rename(staging, os.path.join(out_dir, next_name))
+    ptr_tmp = os.path.join(out_dir, "CURRENT.tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(next_name)
+    os.replace(ptr_tmp, os.path.join(out_dir, "CURRENT"))
+    if cur:  # retire the superseded snapshot (keep-last-1 retention)
+        shutil.rmtree(cur[1], ignore_errors=True)
+    return {"mode": mode, "new_files": len(new), "snapshot": next_name}
 
 
 def windowed_event_counts(

@@ -101,9 +101,13 @@ def test_incremental_index_update_merges_only_new_files(spark, tmp_path):
     r2 = incremental_index_update(spark, tf_dir, out, cfg)
     assert r2["mode"] == "merged" and r2["new_files"] >= 1
 
+    from information_retrieval_project_spark.streaming.incremental import (
+        read_served_index,
+    )
+
+    m_idx, m_ds, m_cs_df = read_served_index(spark, out)
     got = {
-        r["term"]: (r["df"], bytes(r["postings"]))
-        for r in spark.read.parquet(f"{out}/index").collect()
+        r["term"]: (r["df"], bytes(r["postings"])) for r in m_idx.collect()
     }
     full = spark.createDataFrame(pd.concat([p1, p2], ignore_index=True))
     want = {
@@ -122,9 +126,7 @@ def test_incremental_index_update_merges_only_new_files(spark, tmp_path):
         bm25_topk_compressed,
     )
 
-    m_idx = spark.read.parquet(f"{out}/index")
-    m_ds = spark.read.parquet(f"{out}/doc_stats")
-    m_cs = spark.read.parquet(f"{out}/collection_stats").collect()[0]
+    m_cs = m_cs_df.collect()[0]
     toks = ["def", "return", "import"]
     got_q = bm25_topk_compressed(
         spark, m_idx, m_ds, m_cs["n_docs"], m_cs["avgdl"], toks, k=10
@@ -139,3 +141,90 @@ def test_incremental_index_update_merges_only_new_files(spark, tmp_path):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got_q] == [
         (r["doc_id"], round(r["score"], 9)) for r in want_q
     ]
+
+
+def test_incremental_update_crash_recovery(spark, tmp_path):
+    """ADVICE r2: the additive merge must not double-apply after a crash.
+    Simulate the two crash windows — (a) staging written but never published,
+    (b) snapshot published but CURRENT never flipped — and assert the next
+    run converges to exactly the one-shot build either way."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+    )
+    from information_retrieval_project_spark.streaming.incremental import (
+        current_snapshot_dir,
+        incremental_index_update,
+        read_served_index,
+    )
+
+    tf_dir = str(tmp_path / "tf3")
+    out = str(tmp_path / "idx3")
+    cfg = BuildConfig(hot_df_threshold=10_000, hot_detection_sample=1.0)
+    p1 = generate_pdf(50, start=0)
+    p2 = generate_pdf(50, start=50)
+
+    tokenize_tf(with_doc_id(spark.createDataFrame(p1))).coalesce(1).write.mode(
+        "append"
+    ).parquet(tf_dir)
+    r1 = incremental_index_update(spark, tf_dir, out, cfg)
+    assert r1["snapshot"] == "v000001"
+    snap1 = current_snapshot_dir(out)
+
+    tokenize_tf(with_doc_id(spark.createDataFrame(p2))).coalesce(1).write.mode(
+        "append"
+    ).parquet(tf_dir)
+
+    # crash window (a): a leftover staging dir from a died update
+    os.makedirs(os.path.join(out, "_staging_v000002", "index"), exist_ok=True)
+    # crash window (b): a fully-published v000002 whose CURRENT flip never
+    # happened — its contents are a stale double-merge hazard
+    shutil.copytree(snap1, os.path.join(out, "v000002"))
+    with open(os.path.join(out, "v000002", "incorporated.json"), "w") as f:
+        json.dump([], f)  # poison: would re-merge EVERYTHING if trusted
+
+    r2 = incremental_index_update(spark, tf_dir, out, cfg)
+    assert r2["mode"] == "merged" and r2["snapshot"] == "v000002"
+    assert not os.path.exists(os.path.join(out, "_staging_v000002"))
+
+    m_idx, _, m_cs_df = read_served_index(spark, out)
+    got = {
+        r["term"]: (r["df"], bytes(r["postings"])) for r in m_idx.collect()
+    }
+    full = spark.createDataFrame(pd.concat([p1, p2], ignore_index=True))
+    want = {
+        r["term"]: (r["df"], bytes(r["postings"]))
+        for r in build_postings(tokenize_tf(with_doc_id(full)), cfg).collect()
+    }
+    assert got == want
+    assert m_cs_df.collect()[0]["n_docs"] == 100
+    # idempotent after recovery: nothing left to apply
+    assert incremental_index_update(spark, tf_dir, out, cfg)["mode"] == "noop"
+
+
+def test_incremental_update_corrupt_pointer_raises(spark, tmp_path):
+    """CURRENT naming a missing snapshot is corruption — rebuilding from only
+    new files would silently drop history (ADVICE r2)."""
+    import os
+
+    import pytest
+
+    from information_retrieval_project_spark.index.build import BuildConfig
+    from information_retrieval_project_spark.streaming.incremental import (
+        incremental_index_update,
+    )
+
+    out = str(tmp_path / "idx4")
+    os.makedirs(out)
+    with open(os.path.join(out, "CURRENT"), "w") as f:
+        f.write("v000099")
+    with pytest.raises(RuntimeError, match="missing snapshot"):
+        incremental_index_update(
+            spark, str(tmp_path), out, BuildConfig(hot_detection_sample=1.0)
+        )
