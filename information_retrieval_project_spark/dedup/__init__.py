@@ -1,8 +1,11 @@
 from .dedup import (  # noqa: F401
+    bucket_cap_stats,
+    cap_buckets,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingles,
     simhash64,
     simhash_near_dup_pairs,
 )

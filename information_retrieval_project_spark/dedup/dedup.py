@@ -61,7 +61,11 @@ def cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     degenerate bucket of size d (boilerplate-heavy corpora, hot shingles)
     fans out to d²/2 join rows — quadratic at 100 TB. The count shares the
     join's partitioning (same keys), so the guard costs one co-partitioned
-    agg, not a new shuffle pattern."""
+    agg, not a new shuffle pattern.
+
+    Truncation is observable: bucket_cap_stats on the same (rows, keys, cap)
+    reports what a cap drops, and the public pair generators default their
+    caps to None (opt-in) so results never silently change (ADVICE r2)."""
     ok = (
         rows.groupBy(*keys)
         .agg(F.count("*").alias("_bucket_n"))
@@ -71,17 +75,44 @@ def cap_buckets(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
     return rows.join(ok, keys)
 
 
+def bucket_cap_stats(rows: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """One row (dropped_buckets, dropped_rows, max_bucket_size): what
+    cap_buckets(rows, keys, cap) would truncate. Run it alongside a capped
+    job (same plan shape — one agg on the join keys) to make skew-guard
+    truncation detectable instead of silent (ADVICE r2)."""
+    sizes = rows.groupBy(*keys).agg(F.count("*").alias("_bucket_n"))
+    return sizes.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_bucket_n") > cap, 1)), F.lit(0)
+        ).cast("long").alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bucket_n") > cap, F.col("_bucket_n"))),
+            F.lit(0),
+        ).cast("long").alias("dropped_rows"),
+        F.coalesce(F.max("_bucket_n"), F.lit(0)).cast("long").alias(
+            "max_bucket_size"
+        ),
+    )
+
+
+def _maybe_cap(rows: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    return rows if cap is None else cap_buckets(rows, keys, cap)
+
+
 def minhash_lsh_pairs(
     sig: DataFrame,
     n_bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing any band signature (bucket join).
 
-    Buckets larger than `max_bucket` are skipped (skew guard): a bucket that
-    hot is degenerate boilerplate, and its members are still found through
-    their other n_bands-1 bands unless they collide everywhere."""
+    max_bucket (opt-in; None = exact): buckets larger than this are skipped
+    (skew guard) — a bucket that hot is degenerate boilerplate, and its
+    members are still found through their other n_bands-1 bands unless they
+    collide everywhere. At 100 TB ALWAYS set it (one hot bucket of size d
+    fans out d²/2 join rows); measure what it drops with
+    bucket_cap_stats(bands, ["band", "key"], max_bucket)."""
     bands = None
     for bidx in range(n_bands):
         cols = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
@@ -91,7 +122,7 @@ def minhash_lsh_pairs(
             F.xxhash64(*cols).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    bands = cap_buckets(bands, ["band", "key"], max_bucket)
+    bands = _maybe_cap(bands, ["band", "key"], max_bucket)
     a, bd = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -106,18 +137,19 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    shingle_df: DataFrame, threshold: float = 0.8, max_df: int = 1000
+    shingle_df: DataFrame, threshold: float = 0.8, max_df: int | None = None
 ) -> DataFrame:
     """Jaccard over pairs sharing ≥1 shingle (join-based set sim).
 
-    Shingles present in more than `max_df` docs are excluded from candidate
-    generation AND intersection counts (standard document-frequency
-    filtering — one license-header line in d docs would otherwise emit d²/2
-    join rows). Set sizes still count all shingles, so reported Jaccard is a
-    lower bound for pairs that shared a hot shingle; with max_df ≥ corpus
-    size the result is exact."""
+    max_df (opt-in; None = exact): shingles present in more than `max_df`
+    docs are excluded from candidate generation AND intersection counts
+    (standard document-frequency filtering — one license-header line in d
+    docs would otherwise emit d²/2 join rows). Set sizes still count all
+    shingles, so with a cap the reported Jaccard is a lower bound for pairs
+    that shared a hot shingle. At 100 TB always set it; measure what it
+    drops with bucket_cap_stats(shingle_df, ["shingle"], max_df)."""
     sizes = shingle_df.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = cap_buckets(shingle_df, ["shingle"], max_df)
+    rare = _maybe_cap(shingle_df, ["shingle"], max_df)
     inter = (
         rare.alias("a")
         .join(
@@ -205,14 +237,15 @@ def simhash64_md5(
 
 
 def simhash_near_dup_pairs(
-    sim: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
+    sim: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming, candidate-generated
     by the 4-block pigeonhole trick: if two 64-bit prints differ in ≤3 bits,
     at least one 16-bit block is identical → equi-join per block, then exact
-    popcount filter (bit_count is native). Blocks shared by more than
-    `max_bucket` docs are skipped (skew guard; pairs remain reachable via
-    their other 3 blocks)."""
+    popcount filter (bit_count is native). max_bucket (opt-in; None = exact):
+    blocks shared by more docs are skipped (skew guard; pairs remain
+    reachable via their other 3 blocks). At 100 TB always set it; measure
+    what it drops with bucket_cap_stats(blocks, ["blk", "key"], max_bucket)."""
     blocks = None
     for blk in range(4):
         b = sim.select(
@@ -222,7 +255,7 @@ def simhash_near_dup_pairs(
             F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
         )
         blocks = b if blocks is None else blocks.unionByName(b)
-    blocks = cap_buckets(blocks, ["blk", "key"], max_bucket)
+    blocks = _maybe_cap(blocks, ["blk", "key"], max_bucket)
     a, bd = blocks.alias("a"), blocks.alias("b")
     pairs = (
         a.join(

@@ -374,16 +374,35 @@ def write_index(
 
 def read_index_meta(spark: SparkSession, out_dir: str) -> dict:
     """Sidecar layout metadata; {'term_buckets': 32, 'fmt': 'parquet'}
-    fallback for indexes written before the sidecar existed."""
+    fallback ONLY for indexes written before the sidecar existed (path
+    absent). A sidecar that exists but cannot be parsed raises: silently
+    assuming 32 buckets against an index written with a different modulus
+    would reintroduce the pruning bug (valid postings dropped) the sidecar
+    prevents (ADVICE r2)."""
+    from pyspark.errors import AnalysisException
+
+    meta_path = f"{out_dir}/index_meta"
     try:
-        row = spark.read.json(f"{out_dir}/index_meta").collect()[0]
-        d = row.asDict()
-        return {
-            "term_buckets": int(d["term_buckets"]),
-            "fmt": d.get("fmt") or "parquet",
-        }
-    except Exception:  # noqa: BLE001 — legacy layout without the sidecar
-        return {"term_buckets": 32, "fmt": "parquet"}
+        rows = spark.read.json(meta_path).collect()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return {"term_buckets": 32, "fmt": "parquet"}  # legacy layout
+        if "CORRUPT_RECORD" in msg:  # unparseable JSON in an existing sidecar
+            raise ValueError(
+                f"corrupt index_meta sidecar at {meta_path}: {msg[:200]}"
+            ) from e
+        raise
+    if not rows or "term_buckets" not in rows[0].asDict() or rows[0]["term_buckets"] is None:
+        raise ValueError(
+            f"corrupt index_meta sidecar at {meta_path}: "
+            f"{rows[0].asDict() if rows else 'no rows'}"
+        )
+    d = rows[0].asDict()
+    return {
+        "term_buckets": int(d["term_buckets"]),
+        "fmt": d.get("fmt") or "parquet",
+    }
 
 
 def read_index(

@@ -74,9 +74,15 @@ def bm25_scores(
 
 def topk(scores: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k with rank. ORDER BY score DESC, doc_id ASC LIMIT k
-    compiles to TakeOrderedAndProject — per-partition heaps, k rows shuffled."""
+    compiles to TakeOrderedAndProject — per-partition heaps, k rows shuffled.
+    The rank window then runs over exactly those k rows; the constant
+    partition key (score*0 — nullable, so Catalyst keeps it, same idiom as
+    entry_queries.q_pr_curve) says that one partition IS the point and keeps
+    the WindowExec single-partition warning out of bench logs."""
     out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy(F.col("score") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return out.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )

@@ -32,7 +32,10 @@ def kmv_state(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     hashes = df.select(F.col(col).alias("v")).distinct().select(
         _unit_hash(F.col("v")).alias("h")
     )
-    w = Window.orderBy("h")
+    # rank window runs over the ≤k rows surviving the limit; the constant
+    # nullable partition key (h*0) marks single-partition as intended and
+    # silences the WindowExec warning (pr_curve idiom).
+    w = Window.partitionBy(F.col("h") * 0).orderBy("h")
     return (
         hashes.orderBy("h")
         .limit(k)

@@ -51,16 +51,26 @@ def select_query(
 ) -> QuerySession:
     """Build a query from the target row's own content (the reference reads
     the row's Query string, data_manager.py:175-176; our corpus carries no
-    query column so the query is the doc's first n distinct tokens)."""
-    w = Window.orderBy("doc_id")
+    query column so the query is the doc's first n distinct tokens).
+
+    Row-at-index-N without a global window (VERDICT r2 #5): the N+1 smallest
+    doc_ids via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    N+1 slim rows to the driver), target = the largest of them, then a keyed
+    content lookup. No unpartitioned row_number over the corpus anywhere."""
+    ids = (
+        corpus_with_ids.select("doc_id")
+        .orderBy("doc_id")
+        .limit(row_index + 1)
+        .collect()
+    )
+    if len(ids) <= row_index:
+        raise IndexError(row_index)
+    target_id = ids[-1]["doc_id"]
     row = (
-        corpus_with_ids.withColumn("idx", F.row_number().over(w) - 1)
-        .filter(F.col("idx") == row_index)
+        corpus_with_ids.filter(F.col("doc_id") == target_id)
         .select("doc_id", "content")
         .collect()
     )
-    if not row:
-        raise IndexError(row_index)
     toks = normalize_tokenize(row[0]["content"])
     seen, q = set(), []
     for t in toks:

@@ -113,3 +113,31 @@ def test_term_bucket_partition_pruning(spark, stored):
     pf = plan.split("PartitionFilters", 1)[1][:200]
     assert "term_bucket" in pf
     assert "PushedFilters" in plan
+
+
+def test_corrupt_index_meta_raises_not_falls_back(spark, tmp_path):
+    """ADVICE r2: a sidecar that EXISTS but can't be parsed must raise —
+    silently assuming 32 buckets against an index written with a different
+    modulus would drop valid postings. Only a genuinely absent sidecar
+    (legacy layout) falls back."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "idxmeta")
+    os.makedirs(f"{out}/index_meta")
+    with open(f"{out}/index_meta/part-00000.json", "w") as f:
+        f.write("{this is not json")
+    with pytest.raises(ValueError, match="corrupt index_meta"):
+        read_index_meta(spark, out)
+
+    # valid JSON but missing the required field is also corruption
+    out2 = str(tmp_path / "idxmeta2")
+    os.makedirs(f"{out2}/index_meta")
+    with open(f"{out2}/index_meta/part-00000.json", "w") as f:
+        f.write('{"something_else": 5}')
+    with pytest.raises(ValueError, match="corrupt index_meta"):
+        read_index_meta(spark, out2)
+
+    # absent path = legacy layout -> documented fallback
+    assert read_index_meta(spark, str(tmp_path / "nope"))["term_buckets"] == 32

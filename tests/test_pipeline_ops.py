@@ -330,3 +330,33 @@ def test_resize_images_plumbing(spark):
     }
     with pytest.raises(NotImplementedError):
         resize_stub(np.zeros((4, 4)), 2, 2, fake=False)
+
+
+def test_caps_opt_in_and_truncation_observable(spark):
+    """ADVICE r2: public pair generators default to exact (caps=None), and
+    bucket_cap_stats reports exactly what an enabled cap would drop."""
+    from information_retrieval_project_spark.dedup import bucket_cap_stats
+
+    n = 30
+    boiler = "copyright acme corp all rights reserved"
+    rows = [(i, f"{boiler} unique_{i} filler_{i} token_{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    sh = shingles(docs)
+
+    # default (no cap) == explicit huge cap == exact result
+    default_pairs = ngram_jaccard_pairs(sh, threshold=0.0).count()
+    huge_cap_pairs = ngram_jaccard_pairs(sh, threshold=0.0, max_df=10**6).count()
+    assert default_pairs == huge_cap_pairs == n * (n - 1) // 2
+
+    sig = minhash_signatures(sh, n_hashes=16)
+    assert minhash_lsh_pairs(sig).count() == minhash_lsh_pairs(
+        sig, max_bucket=10**6
+    ).count()
+
+    # the stats relation quantifies the truncation a cap of 10 would apply
+    st = bucket_cap_stats(sh, ["shingle"], 10).collect()[0]
+    assert st["dropped_buckets"] > 0
+    assert st["dropped_rows"] >= st["dropped_buckets"]
+    assert st["max_bucket_size"] == n  # the boilerplate shingles hit all docs
+    st_loose = bucket_cap_stats(sh, ["shingle"], n).collect()[0]
+    assert st_loose["dropped_buckets"] == 0 and st_loose["dropped_rows"] == 0
