@@ -50,14 +50,25 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     EQ.q_term_df(spark, sf_dir).count()
 
+    # best-of-2 per query (VERDICT r2 #2): the host swings 3x run-to-run,
+    # so single-draw headline timings alias noise into round-over-round
+    # comparisons. clearCache between reps — queries that persist internally
+    # (bm25_topk's tf) would otherwise serve rep 2 from rep 1's cache and
+    # report a cache read, not the query (CLAUDE.md lesson).
     times: dict[str, float] = {}
+    reps_all: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = EQ.QUERIES[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
-    return times
+        reps = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = EQ.QUERIES[name](spark, sf_dir)
+            n = df.count()
+            reps.append(round(time.time() - t0, 3))
+        times[name] = min(reps)
+        reps_all[name] = reps
+        print(f"# {name}: {n} rows, reps {reps}", file=sys.stderr)
+    return times, reps_all
 
 
 def query_latency(n_docs: int, master: str, shuffle: int, n_queries: int = 20) -> dict:
@@ -336,9 +347,8 @@ def main() -> None:
     from information_retrieval_project_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    t0 = time.time()
-    qtimes = run_queries(spark, sf_dir)
-    total = round(time.time() - t0, 3)
+    qtimes, qreps = run_queries(spark, sf_dir)
+    total = round(sum(qtimes.values()), 3)
     spark.stop()
 
     result = {
@@ -346,6 +356,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "query_reps": qreps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -367,11 +378,27 @@ def main() -> None:
         eff = hi["files_per_sec"] / (4.0 * lo["files_per_sec"])
         # host noise swings single draws ±30%: if the first pair lands under
         # the 0.8 target and budget allows, measure a second pair and keep
-        # the better ratio (documented best-of policy, BENCH_NOTES.md)
+        # the better ratio. EVERY measured draw is emitted in
+        # scaling.draws (ADVICE r2 / VERDICT r2 #3) so the best-of selection
+        # is visible in the JSON, not just in BENCH_NOTES.md.
+        draws = [
+            {
+                "files_per_sec_n": lo["files_per_sec"],
+                "files_per_sec_4n": hi["files_per_sec"],
+                "efficiency": round(eff, 3),
+            }
+        ]
         if eff < 0.8 and time.time() - t_start < budget * 0.45:
             lo2 = build_throughput(n_docs, n_small, reps=2)
             hi2 = build_throughput(n_docs, n_big, reps=3)
             eff2 = hi2["files_per_sec"] / (4.0 * lo2["files_per_sec"])
+            draws.append(
+                {
+                    "files_per_sec_n": lo2["files_per_sec"],
+                    "files_per_sec_4n": hi2["files_per_sec"],
+                    "efficiency": round(eff2, 3),
+                }
+            )
             if eff2 > eff:
                 lo, hi, eff = lo2, hi2, eff2
         # ceiling probe at 2N threads per level: each Spark slot runs a JVM
@@ -395,6 +422,7 @@ def main() -> None:
             "files_per_sec_n": lo["files_per_sec"],
             "files_per_sec_4n": hi["files_per_sec"],
             "efficiency": round(eff, 3),
+            "draws": draws,
             "hw_ceiling_efficiency": hw["hw_efficiency"],
             "efficiency_normalized_to_hw": round(
                 min(eff / hw["hw_efficiency"], 1.0), 3

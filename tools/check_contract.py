@@ -88,7 +88,25 @@ def main() -> int:
             print(f"ok(rows-only) {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
             continue
         try:
-            want = con.sql(sql).df()
+            rel = con.sql(sql)
+            # Representation trap (VERDICT r2 #10, same class as the r1
+            # HUGEINT rows): DECIMAL/HUGEINT results reach pandas as
+            # object(Decimal)/float64, which the driver's value hash
+            # distinguishes from Spark's double/long even when numerically
+            # equal. Force explicit casts in the oracle SQL instead.
+            wide = [
+                f"{c}: {t}"
+                for c, t in zip(rel.columns, rel.types)
+                if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()
+            ]
+            if wide:
+                print(
+                    f"FAIL {name}: oracle returns driver-unsafe type(s) "
+                    f"{wide} — CAST to DOUBLE/BIGINT in the SQL"
+                )
+                failures.append(name)
+                continue
+            want = rel.df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             failures.append(name)
