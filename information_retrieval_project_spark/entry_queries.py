@@ -1915,6 +1915,103 @@ SQL_NATION_VOLUME = """
 # Registry
 # ---------------------------------------------------------------------------
 
+BATCH_QUERIES = {
+    0: ["join", "spark", "window"],
+    1: ["table", "query"],
+    2: ["join", "query"],
+}
+
+
+def q_bm25_topk_batch(spark, sf_dir):
+    """Whole-query-SET BM25 in ONE plan (queryexec/bm25.bm25_topk_batch —
+    the serving shape for evaluation workloads; VERDICT r2 #7): broadcast
+    the (query_id, term) relation, join once against tf, aggregate per
+    (query_id, doc_id), rank with a window partitioned by query_id. df/idf
+    are per-term GLOBAL quantities computed once from the union of query
+    terms, shared by all queries — |Q| driver-loop jobs become one."""
+    from .queryexec.bm25 import bm25_topk_batch
+
+    tf = _tf(spark, sf_dir).persist()
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")).collect()[0]
+    out = bm25_topk_batch(
+        spark, tf, ds, stats["n_docs"], stats["avgdl"], BATCH_QUERIES, k=5
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 5).alias("score")
+    )
+
+
+_BATCH_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, toks in sorted(BATCH_QUERIES.items()) for t in sorted(set(toks))
+)
+
+SQL_BM25_TOPK_BATCH = f"""
+    WITH tf AS ({_TF_SQL}),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ds),
+    qpairs(query_id, term) AS (VALUES {_BATCH_VALUES}),
+    uniq AS (SELECT DISTINCT term FROM qpairs),
+    cand AS (SELECT tf.* FROM tf JOIN uniq USING (term)),
+    dfq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+    scored AS (
+        SELECT q.query_id, cand.doc_id,
+               sum(
+                   ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (cand.tf * ({K1} + 1.0))
+                   / (cand.tf + {K1} * (1.0 - {B} + {B} * ds.doc_len / stats.avgdl))
+               ) AS score
+        FROM cand
+        JOIN dfq USING (term)
+        JOIN ds ON cand.doc_id = ds.doc_id
+        CROSS JOIN stats
+        JOIN qpairs q ON cand.term = q.term
+        GROUP BY q.query_id, cand.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           round(score, 5) AS score
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+"""
+
+PHRASE = ("table", "hash")
+
+
+def q_phrase_match_docs(spark, sf_dir):
+    """Positional phrase search: docs containing the exact token sequence
+    PHRASE, via self-join of the (doc_id, pos, term) relation on
+    (doc_id, pos+1) — the positional-index query shape (SURVEY.md P5/W5
+    extended to phrases). At scale both sides are term-filtered BEFORE the
+    join (predicate pushdown to the scan), so the join touches only the two
+    terms' position streams, keyed by (doc_id, pos) — never the corpus."""
+    pos = _positions(spark, sf_dir)
+    a = pos.filter(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    b = pos.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+SQL_PHRASE_MATCH_DOCS = f"""
+    WITH pos AS ({_POSITIONS_SQL}),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = '{PHRASE[0]}'),
+    b AS (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = '{PHRASE[1]}')
+    SELECT doc_id, count(*) AS n_matches
+    FROM a JOIN b USING (doc_id, pos)
+    GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -1975,6 +2072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_sketch": q_kmv_sketch,
     "top_cooccurring": q_top_cooccurring,
     "salted_join_volume": q_salted_join_volume,
+    "bm25_topk_batch": q_bm25_topk_batch,
+    "phrase_match_docs": q_phrase_match_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2036,6 +2135,8 @@ ORACLE_SQL: dict[str, str] = {
     "top_cooccurring": SQL_TOP_COOCCURRING,
     "salted_join_volume": SQL_SALTED_JOIN_VOLUME,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "bm25_topk_batch": SQL_BM25_TOPK_BATCH,
+    "phrase_match_docs": SQL_PHRASE_MATCH_DOCS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
