@@ -13,23 +13,39 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MAX_DENSE_VOCAB = 5000  # refuse to densify beyond fixture scale
 
 
 def ppmi_svd_factors(
-    spark: SparkSession, ppmi: DataFrame, rank: int = 16
+    spark: SparkSession, ppmi: DataFrame, rank: int = 16, method: str = "auto"
 ) -> tuple[DataFrame, list[str]]:
     """PPMI triples (a, b, ppmi) → rank-k word factors U·S as a DataFrame
     (term, vector:array<double>). Mirrors the reference's numpy SVD of the
-    dense PPMI frame (data_manager.py:658-668) with the dense step gated to
-    fixture scale."""
+    dense PPMI frame (data_manager.py:658-668).
+
+    method: "dense" collects and densifies (fixture scale only, hard-capped
+    at MAX_DENSE_VOCAB); "distributed" never densifies — sparse
+    IndexedRowMatrix.computeSVD (ARPACK on the gram matrix; only the V×k
+    factor is ever local). "auto" picks dense under the cap, distributed
+    above it (VERDICT r2 #6: above-cap no longer raises)."""
+    vocab_df = (
+        ppmi.select(F.col("a").alias("term"))
+        .union(ppmi.select(F.col("b").alias("term")))
+        .distinct()
+    )
+    n_vocab = vocab_df.count()
+    if method == "auto":
+        method = "dense" if n_vocab <= MAX_DENSE_VOCAB else "distributed"
+    if method == "distributed":
+        return _ppmi_svd_distributed(spark, ppmi, vocab_df, n_vocab, rank)
     rows = ppmi.collect()
     vocab = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
     if len(vocab) > MAX_DENSE_VOCAB:
         raise ValueError(
             f"vocab {len(vocab)} exceeds fixture-scale dense limit "
-            f"{MAX_DENSE_VOCAB}; use mllib RowMatrix.computeSVD instead"
+            f"{MAX_DENSE_VOCAB}; use method='distributed'"
         )
     pos = {w: i for i, w in enumerate(vocab)}
     m = np.zeros((len(vocab), len(vocab)))
@@ -43,6 +59,57 @@ def ppmi_svd_factors(
         "term string, vector array<double>",
     )
     return df, vocab
+
+
+def _ppmi_svd_distributed(
+    spark: SparkSession,
+    ppmi: DataFrame,
+    vocab_df: DataFrame,
+    n_vocab: int,
+    rank: int,
+) -> tuple[DataFrame, list[str]]:
+    """Sparse distributed SVD of the PPMI matrix — the above-fixture-scale
+    path. term→row-index comes from a distributed sort + zipWithIndex (no
+    driver-side vocab dict); rows are mllib SparseVectors, so the only
+    dense object anywhere is the k-column factor block. Terms that appear
+    only as context (column b, no outgoing row) are zero rows of the
+    matrix, hence zero factor vectors — filled in after the join to match
+    the dense path's semantics."""
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    k = min(rank, n_vocab)
+    idx_df = (
+        vocab_df.rdd.map(lambda r: r["term"])
+        .sortBy(lambda t: t)
+        .zipWithIndex()
+        .toDF(["term", "i"])
+        .persist()
+    )
+    a_idx = idx_df.select(F.col("term").alias("a"), F.col("i").alias("ai"))
+    b_idx = idx_df.select(F.col("term").alias("b"), F.col("i").alias("bi"))
+    cells = ppmi.join(a_idx, "a").join(b_idx, "b").select("ai", "bi", "ppmi")
+    rows = (
+        cells.rdd.map(lambda r: (r["ai"], (r["bi"], float(r["ppmi"]))))
+        .groupByKey()
+        .map(
+            lambda kv: IndexedRow(
+                kv[0], Vectors.sparse(n_vocab, sorted(kv[1]))
+            )
+        )
+    )
+    svd = IndexedRowMatrix(rows).computeSVD(k, computeU=True)
+    s = [float(x) for x in svd.s]
+    u_df = svd.U.rows.map(
+        lambda ir: (int(ir.index), [float(x) * sv for x, sv in zip(ir.vector, s)])
+    ).toDF("i long, vector array<double>")
+    zeros = F.array(*[F.lit(0.0) for _ in range(k)])
+    factors = (
+        idx_df.join(u_df, "i", "left")
+        .select("term", F.coalesce("vector", zeros).alias("vector"))
+    )
+    vocab = [r["term"] for r in idx_df.orderBy("i").select("term").collect()]
+    return factors, vocab
 
 
 def svd_cosine_topk(
