@@ -2012,6 +2012,21 @@ SQL_PHRASE_MATCH_DOCS = f"""
 """
 
 
+def q_phrase_match_indexed(spark, sf_dir):
+    """The SAME phrase query served from the POSITIONAL INDEX
+    (index/positions.py): positions are materialized per (term, doc) as
+    delta+varbyte binaries at build time, then the query decodes only the
+    phrase terms' lists — the index-served counterpart of
+    phrase_match_docs, oracled by the identical corpus-side SQL."""
+    from .index.positions import build_positions, phrase_match_indexed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = build_positions(docs)
+    return phrase_match_indexed(spark, idx, list(PHRASE))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2074,6 +2089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_volume": q_salted_join_volume,
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_docs": q_phrase_match_docs,
+    "phrase_match_indexed": q_phrase_match_indexed,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2137,6 +2153,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "bm25_topk_batch": SQL_BM25_TOPK_BATCH,
     "phrase_match_docs": SQL_PHRASE_MATCH_DOCS,
+    "phrase_match_indexed": SQL_PHRASE_MATCH_DOCS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
