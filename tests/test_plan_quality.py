@@ -84,3 +84,26 @@ def test_capped_band_join_stays_hash_equi(spark, sf_dir):
     p = plan(EQ.q_minhash_band_pairs(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_batch_bm25_window_partitioned_by_query(spark, sf_dir):
+    """The query-set rank window must be PARTITIONED by query_id (parallel
+    across queries) and the (query_id, term) relation broadcast — the whole
+    point of the one-plan batch form."""
+    p = plan(EQ.q_bm25_topk_batch(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    # a Window over partitionBy(query_id) plans an Exchange hashpartitioning
+    # on query_id; an unpartitioned window would plan SinglePartition instead
+    assert "hashpartitioning(query_id" in p
+    assert "TakeOrderedAndProject" in p or "Window" in p
+
+
+def test_phrase_match_joins_stay_equi(spark, sf_dir):
+    """Both phrase paths (corpus-side positional self-join and the
+    positional-index serve) must stay equi-joins on (doc_id, pos) — never a
+    nested loop — and the corpus path must prune the text column's siblings
+    at the scan."""
+    for q in (EQ.q_phrase_match_docs, EQ.q_phrase_match_indexed):
+        p = plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
