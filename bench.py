@@ -383,8 +383,10 @@ def main() -> None:
         lo = hi = None
         eff = -1.0
         for pair_i in range(max_pairs):
+            t_pair = time.time()
             lo_i = build_throughput(n_docs, n_small, reps=2)
             hi_i = build_throughput(n_docs, n_big, reps=3)
+            pair_cost = time.time() - t_pair
             eff_i = hi_i["files_per_sec"] / (4.0 * lo_i["files_per_sec"])
             draws.append(
                 {
@@ -395,7 +397,11 @@ def main() -> None:
             )
             if eff_i > eff:
                 lo, hi, eff = lo_i, hi_i, eff_i
-            if eff >= 0.8 or time.time() - t_start > budget * 0.5:
+            # continue only while under target AND a further pair (predicted
+            # at this draw's measured cost) still fits the pair-loop share —
+            # on a throttled host each pair is slower AND more are needed;
+            # a fixed elapsed-time gate stopped after one pair exactly then
+            if eff >= 0.8 or time.time() - t_start + pair_cost > budget * 0.7:
                 break
         # ceiling probe at 2N threads per level: each Spark slot runs a JVM
         # task thread AND a Python worker, so level N exercises 2N hardware
