@@ -2027,6 +2027,36 @@ def q_phrase_match_indexed(spark, sf_dir):
     return phrase_match_indexed(spark, idx, list(PHRASE))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph (dedup/clusters.py min-label propagation) — the
+    transitive keep-one-per-cluster step of a dedup pipeline. cluster =
+    min doc_id of the component; singletons cluster to themselves. The
+    oracle is the same closure via a DuckDB recursive CTE."""
+    from .dedup.clusters import connected_components
+
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_band_pairs(spark, sf_dir)
+    return connected_components(nodes, pairs)
+
+
+SQL_DUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_MINHASH_BAND_PAIRS}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2090,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_batch": q_bm25_topk_batch,
     "phrase_match_docs": q_phrase_match_docs,
     "phrase_match_indexed": q_phrase_match_indexed,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2154,6 +2185,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_batch": SQL_BM25_TOPK_BATCH,
     "phrase_match_docs": SQL_PHRASE_MATCH_DOCS,
     "phrase_match_indexed": SQL_PHRASE_MATCH_DOCS,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

@@ -360,3 +360,24 @@ def test_caps_opt_in_and_truncation_observable(spark):
     assert st["max_bucket_size"] == n  # the boilerplate shingles hit all docs
     st_loose = bucket_cap_stats(sh, ["shingle"], n).collect()[0]
     assert st_loose["dropped_buckets"] == 0 and st_loose["dropped_rows"] == 0
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation: chains, cliques, singletons, and transitive
+    closure (a-b, b-c => a,b,c one cluster even if (a,c) was never a pair)."""
+    from information_retrieval_project_spark.dedup.clusters import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (5, 6), (5, 7), (6, 7),      # triangle 5-6-7
+         (8, 9)],                     # pair; 0 is a singleton
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
