@@ -36,51 +36,62 @@ from .codec import varbyte_decode, varbyte_encode
 POS_SCHEMA = "term string, doc_id long, n_occ long, positions binary"
 
 
-def _positions_relation(corpus_with_id: DataFrame) -> DataFrame:
-    """(doc_id, pos, term) via the frozen default pipeline
-    (functions/textnorm semantics: split(lower(x), '[^a-z0-9_]+'))."""
-    toks = F.filter(
-        F.split(F.lower(F.col("content")), "[^a-z0-9_]+"), lambda x: x != ""
-    )
-    return corpus_with_id.select(
-        "doc_id", F.posexplode(toks).alias("pos", "term")
-    )
-
-
-def _encode_positions_udf():
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def enc(plists: pd.Series) -> pd.Series:
-        out = []
-        for p in plists.values:
-            a = np.asarray(p, dtype=np.uint64)
-            deltas = np.empty_like(a)
-            if a.size:
-                deltas[0] = a[0]
-                np.subtract(a[1:], a[:-1], out=deltas[1:])
-            out.append(varbyte_encode(deltas))
-        return pd.Series(out)
-
-    return enc
-
-
 def build_positions(corpus_with_id: DataFrame) -> DataFrame:
     """corpus (with doc_id) → positional index (term, doc_id, n_occ,
-    positions:binary). Grouping key is (term, doc_id): group size is bounded
-    by one document's occurrences of one term, so hot terms cannot blow up a
-    reduce group the way whole posting lists can in build_postings."""
-    enc = _encode_positions_udf()
-    return (
-        _positions_relation(corpus_with_id)
-        .groupBy("term", "doc_id")
-        .agg(F.array_sort(F.collect_list("pos")).alias("_plist"))
-        .select(
-            "term",
-            "doc_id",
-            F.size("_plist").cast("long").alias("n_occ"),
-            enc(F.col("_plist")).alias("positions"),
-        )
+    positions:binary), with ZERO shuffle: every position of a term within a
+    doc lives in that doc's single content row, so the (term, doc_id) group
+    is complete inside the Arrow batch — tokenize, group, delta+varbyte
+    encode all happen map-side (the same no-shuffle property tokenize_tf
+    exploits for tf). A groupBy formulation would shuffle one row per TOKEN;
+    this emits one already-final row per (term, doc) pair."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.textnorm import _TOKEN_PATTERNS
+
+        pat = _TOKEN_PATTERNS["code"]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            tok_lists = pdf["content"].str.lower().str.findall(pat)
+            lens = tok_lists.str.len().to_numpy(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_rep = np.repeat(ids, lens)
+            terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            # sort by (doc, term, pos) — pos least significant, so each
+            # (doc, term) group's positions come out ascending
+            order = np.lexsort((pos, terms, doc_rep))
+            d, t, p = doc_rep[order], terms[order], pos[order]
+            change = np.empty(d.size, dtype=bool)
+            change[0] = True
+            change[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+            gs = np.flatnonzero(change)
+            ge = np.append(gs[1:], d.size)
+            out_t, out_d, out_n, out_b = [], [], [], []
+            for s, e in zip(gs, ge):
+                pp = p[s:e].astype(np.uint64)
+                deltas = np.empty_like(pp)
+                deltas[0] = pp[0]
+                np.subtract(pp[1:], pp[:-1], out=deltas[1:])
+                out_t.append(t[s])
+                out_d.append(int(d[s]))
+                out_n.append(int(e - s))
+                out_b.append(varbyte_encode(deltas))
+            yield pd.DataFrame(
+                {
+                    "term": out_t,
+                    "doc_id": out_d,
+                    "n_occ": out_n,
+                    "positions": out_b,
+                }
+            )
+
+    return corpus_with_id.select("doc_id", "content").mapInPandas(
+        gen, POS_SCHEMA
     )
 
 

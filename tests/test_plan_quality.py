@@ -107,3 +107,18 @@ def test_phrase_match_joins_stay_equi(spark, sf_dir):
         p = plan(q(spark, sf_dir))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_build_positions_is_shuffle_free(spark, sf_dir):
+    """The positional-index build must stay map-side complete: every
+    (term, doc_id) group lives inside one content row, so the plan must
+    contain NO Exchange (a groupBy formulation would shuffle one row per
+    token — the largest possible shuffle at 100 TB)."""
+    from information_retrieval_project_spark.index.positions import (
+        build_positions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    assert "Exchange" not in plan(build_positions(docs))
