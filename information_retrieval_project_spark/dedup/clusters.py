@@ -32,8 +32,11 @@ def connected_components(
     """(doc_id, cluster): cluster = min doc_id of the node's component.
 
     nodes: one row per doc (singletons cluster to themselves);
-    pairs: undirected edges (doc_a, doc_b). Deterministic; converges when a
-    full round changes no label (checked with a 1-row count per round)."""
+    pairs: undirected edges (doc_a, doc_b). Deterministic. Labels are
+    monotone non-increasing, so any change strictly decreases the exact
+    label sum — convergence is one decimal-sum aggregate per round (no
+    join-against-previous shuffle; decimal(38,0) holds 10^12 64-bit labels
+    exactly)."""
     lab = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
@@ -47,13 +50,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    def label_sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(lab)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(lab, edges.src == lab.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_lab = (
+        lab = (
             lab.join(nbr_min, lab.node == nbr_min.dst, "left")
             .select(
                 "node",
@@ -63,13 +72,8 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        lab = new_lab
-        if changed == 0:
+        cur_sum = label_sum(lab)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))
