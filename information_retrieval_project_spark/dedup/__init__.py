@@ -1,3 +1,4 @@
+from .clusters import connected_components  # noqa: F401
 from .dedup import (  # noqa: F401
     bucket_cap_stats,
     cap_buckets,

@@ -2057,6 +2057,43 @@ SQL_DUP_CLUSTERS = f"""
 """
 
 
+def q_snippets(spark, sf_dir):
+    """Result-page snippet extraction: for docs matching any BM25_QUERY term,
+    an 80-char window starting 20 chars before the EARLIEST term hit in the
+    lowered text (deterministic; the fulltext-engine highlight primitive).
+    Pure codegen string math — locate/substring — no Python."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    )
+    big = F.lit(1 << 30)
+    pos_cols = [
+        F.when(F.locate(t, F.col("lt")) > 0, F.locate(t, F.col("lt"))).otherwise(big)
+        for t in sorted(set(BM25_QUERY))
+    ]
+    d = d.withColumn("minpos", F.least(*pos_cols)).filter(F.col("minpos") < big)
+    start = F.greatest(F.lit(1), F.col("minpos") - 20)
+    return d.select(
+        "doc_id",
+        start.cast("long").alias("snippet_start"),
+        F.substring(F.col("lt"), start, 80).alias("snippet"),
+    )
+
+
+_SNIPPET_POS = ", ".join(
+    f"CASE WHEN strpos(lt, '{t}') > 0 THEN strpos(lt, '{t}') ELSE 1073741824 END"
+    for t in sorted(set(BM25_QUERY))
+)
+
+SQL_SNIPPETS = f"""
+    WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    m AS (SELECT doc_id, lt, least({_SNIPPET_POS}) AS minpos FROM d)
+    SELECT doc_id,
+           CAST(greatest(1, minpos - 20) AS BIGINT) AS snippet_start,
+           substr(lt, greatest(1, minpos - 20), 80) AS snippet
+    FROM m WHERE minpos < 1073741824
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2121,6 +2158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_docs": q_phrase_match_docs,
     "phrase_match_indexed": q_phrase_match_indexed,
     "dup_clusters": q_dup_clusters,
+    "snippets": q_snippets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2186,6 +2224,7 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_match_docs": SQL_PHRASE_MATCH_DOCS,
     "phrase_match_indexed": SQL_PHRASE_MATCH_DOCS,
     "dup_clusters": SQL_DUP_CLUSTERS,
+    "snippets": SQL_SNIPPETS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
