@@ -2094,6 +2094,36 @@ SQL_SNIPPETS = f"""
 """
 
 
+PROX = ("table", "join")
+PROX_WINDOW = 5
+
+
+def q_proximity_match(spark, sf_dir):
+    """Proximity search from the POSITIONAL INDEX: docs where PROX terms
+    occur within PROX_WINDOW tokens, with the minimum token distance — the
+    proximity-ranking primitive (index/positions.proximity_match_indexed).
+    Decode pruned to the two terms; oracled by the corpus-side positional
+    self-join."""
+    from .index.positions import build_positions, proximity_match_indexed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = build_positions(docs)
+    return proximity_match_indexed(spark, idx, PROX[0], PROX[1], PROX_WINDOW)
+
+
+SQL_PROXIMITY_MATCH = f"""
+    WITH pos AS ({_POSITIONS_SQL}),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = '{PROX[0]}'),
+    b AS (SELECT doc_id, pos FROM pos WHERE term = '{PROX[1]}')
+    SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    GROUP BY a.doc_id
+    HAVING min(abs(a.pos - b.pos)) <= {PROX_WINDOW}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2159,6 +2189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_match_indexed": q_phrase_match_indexed,
     "dup_clusters": q_dup_clusters,
     "snippets": q_snippets,
+    "proximity_match": q_proximity_match,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2225,6 +2256,7 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_match_indexed": SQL_PHRASE_MATCH_DOCS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "snippets": SQL_SNIPPETS,
+    "proximity_match": SQL_PROXIMITY_MATCH,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

@@ -123,6 +123,31 @@ def decode_position_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+def proximity_match_indexed(
+    spark: SparkSession,
+    pos_idx: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+) -> DataFrame:
+    """Docs where term_a and term_b occur within `window` tokens →
+    (doc_id, min_dist) — the proximity-ranking primitive. Decode is pruned
+    to the two terms; the per-doc join of their position lists is bounded by
+    occurrence counts, then one aggregate takes the minimum distance."""
+    occ = decode_position_rows(
+        pos_idx.filter(F.col("term").isin([term_a, term_b]))
+    )
+    a = occ.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
+    b = occ.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", F.abs(F.col("pa") - F.col("pb")).alias("dist"))
+        .groupBy("doc_id")
+        .agg(F.min("dist").alias("min_dist"))
+        .filter(F.col("min_dist") <= window)
+    )
+
+
 def phrase_match_indexed(
     spark: SparkSession, pos_idx: DataFrame, phrase: list[str]
 ) -> DataFrame:

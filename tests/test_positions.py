@@ -138,3 +138,26 @@ def test_phrase_match_repeated_term(spark):
         for r in phrase_match_indexed(spark, idx, ["a", "a"]).collect()
     }
     assert got == {1: 1, 3: 2}
+
+
+def test_proximity_match_indexed(spark):
+    from information_retrieval_project_spark.index.positions import (
+        proximity_match_indexed,
+    )
+
+    rows = [
+        (1, "x a q q b y"),   # |1-4| = 3
+        (2, "a x x x x x b"), # |0-6| = 6 -> excluded at window 5
+        (3, "b a"),           # |1-0| = 1
+        (4, "a a a"),         # no b
+    ]
+    docs = spark.createDataFrame(
+        [(i, "r", "p", str(i), t) for i, t in rows],
+        "doc_id long, repo string, path string, commit string, content string",
+    )
+    idx = build_positions(docs)
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, idx, "a", "b", 5).collect()
+    }
+    assert got == {1: 3, 3: 1}
