@@ -41,7 +41,9 @@ HEADLINE = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     from information_retrieval_project_spark import entry_queries as EQ
 
     # session warmup: JIT/codegen compile, parquet footers, AQE machinery —
@@ -378,7 +380,9 @@ def main() -> None:
         # 0.8 target or the budget share is spent, keep the best pair.
         # EVERY measured draw is emitted in scaling.draws (ADVICE r2 /
         # VERDICT r2 #3) so the best-of selection is visible in the JSON.
-        max_pairs = int(os.environ.get("BENCH_SCALING_MAX_PAIRS", "3"))
+        # clamp to >=1: the loop must produce one pair or the sections below
+        # dereference lo/hi of None (use BENCH_SCALING=0 to skip scaling)
+        max_pairs = max(1, int(os.environ.get("BENCH_SCALING_MAX_PAIRS", "3")))
         draws = []
         lo = hi = None
         eff = -1.0

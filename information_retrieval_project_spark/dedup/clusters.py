@@ -56,6 +56,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = label_sum(lab)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(lab, edges.src == lab.node)
@@ -74,6 +75,14 @@ def connected_components(
         )
         cur_sum = label_sum(lab)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # unconverged labels are silently-wrong clusters (the dedup would
+        # keep multiple docs of one component) — refuse to return them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster"))

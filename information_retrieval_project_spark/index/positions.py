@@ -51,7 +51,10 @@ def build_positions(corpus_with_id: DataFrame) -> DataFrame:
         pat = _TOKEN_PATTERNS["code"]
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(np.int64)
-            tok_lists = pdf["content"].str.lower().str.findall(pat)
+            # null content = zero tokens (matches every other tokenize path);
+            # without fillna, str.len() yields NaN which casts to INT64_MIN
+            # and kills the task in np.repeat
+            tok_lists = pdf["content"].fillna("").str.lower().str.findall(pat)
             lens = tok_lists.str.len().to_numpy(np.int64)
             total = int(lens.sum())
             if total == 0:
@@ -133,15 +136,19 @@ def proximity_match_indexed(
     """Docs where term_a and term_b occur within `window` tokens →
     (doc_id, min_dist) — the proximity-ranking primitive. Decode is pruned
     to the two terms; the per-doc join of their position lists is bounded by
-    occurrence counts, then one aggregate takes the minimum distance."""
+    occurrence counts, then one aggregate takes the minimum distance.
+    term_a == term_b means two DISTINCT occurrences of the term within the
+    window (self-pairs at distance 0 are excluded)."""
     occ = decode_position_rows(
         pos_idx.filter(F.col("term").isin([term_a, term_b]))
     )
     a = occ.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
     b = occ.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
+    pairs = a.join(b, "doc_id")
+    if term_a == term_b:
+        pairs = pairs.filter(F.col("pa") != F.col("pb"))
     return (
-        a.join(b, "doc_id")
-        .select("doc_id", F.abs(F.col("pa") - F.col("pb")).alias("dist"))
+        pairs.select("doc_id", F.abs(F.col("pa") - F.col("pb")).alias("dist"))
         .groupBy("doc_id")
         .agg(F.min("dist").alias("min_dist"))
         .filter(F.col("min_dist") <= window)

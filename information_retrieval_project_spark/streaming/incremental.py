@@ -73,17 +73,21 @@ def _read_current(out_dir: str) -> tuple[str, str] | None:
     return name, path
 
 
-def _recover(out_dir: str, current_name: str | None) -> None:
-    """Drop uncommitted leftovers from a crashed update: staging dirs and
-    snapshot dirs newer than CURRENT (published data whose state commit never
-    happened). The committed snapshot is never touched."""
+def _recover(out_dir: str, current_name: str | None, retain: int) -> None:
+    """Drop uncommitted leftovers from a crashed update: staging dirs,
+    snapshot dirs newer than CURRENT (published data whose state commit
+    never happened), and superseded snapshots beyond the retention window
+    (a crash between the pointer flip and retirement would otherwise leak a
+    full index copy forever). The committed snapshot is never touched."""
     cur_id = int(current_name[1:]) if current_name else -1
     for entry in os.listdir(out_dir):
         p = os.path.join(out_dir, entry)
         if entry.startswith("_staging_"):
             shutil.rmtree(p, ignore_errors=True)
-        elif entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) > cur_id:
-            shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith("v") and entry[1:].isdigit():
+            eid = int(entry[1:])
+            if eid > cur_id or eid <= cur_id - retain:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def current_snapshot_dir(out_dir: str) -> str:
@@ -111,6 +115,7 @@ def incremental_index_update(
     tf_dir: str,
     out_dir: str,
     cfg: BuildConfig = BuildConfig(),
+    retain: int = 2,
 ) -> dict:
     """Maintain a SERVED index over the append-only tf stream: merge only the
     tf part-files that arrived since the last update into the stored index
@@ -130,11 +135,31 @@ def incremental_index_update(
     the same new files against the unchanged base. At cluster scale the
     snapshot commit is an Iceberg snapshot (atomic data+metadata), which is
     exactly this protocol. Append-only: re-ingesting a document would sum
-    its tf into existing postings; dedupe upstream."""
+    its tf into existing postings; dedupe upstream.
+
+    retain: how many committed snapshots to keep (default 2 — the previous
+    snapshot survives one update so in-flight read_served_index readers
+    pinned to it don't lose files mid-query; raise for longer grace)."""
+    if retain < 1:
+        raise ValueError("retain must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
     cur = _read_current(out_dir)
+    if cur is None and (
+        os.path.isdir(os.path.join(out_dir, "index"))
+        or os.path.exists(os.path.join(out_dir, "incorporated.json"))
+    ):
+        # pre-snapshot layout (top-level index/ + incorporated.json, no
+        # CURRENT): treating it as a fresh start would re-merge everything
+        # and orphan the old index — refuse instead of silently losing
+        # history
+        raise RuntimeError(
+            f"{out_dir} uses the legacy pre-snapshot layout; migrate by "
+            "moving index/, doc_stats/, collection_stats/ and "
+            "incorporated.json into a v000001/ dir and writing 'v000001' "
+            "to a CURRENT file"
+        )
     cur_name = cur[0] if cur else None
-    _recover(out_dir, cur_name)
+    _recover(out_dir, cur_name, retain)
     incorporated: set[str] = set()
     if cur:
         with open(os.path.join(cur[1], "incorporated.json")) as f:
@@ -178,8 +203,13 @@ def incremental_index_update(
     with open(ptr_tmp, "w") as f:
         f.write(next_name)
     os.replace(ptr_tmp, os.path.join(out_dir, "CURRENT"))
-    if cur:  # retire the superseded snapshot (keep-last-1 retention)
-        shutil.rmtree(cur[1], ignore_errors=True)
+    # retire snapshots beyond the retention window (the new snapshot plus
+    # retain-1 predecessors stay; _recover also enforces this on startup in
+    # case of a crash right here)
+    for entry in os.listdir(out_dir):
+        if entry.startswith("v") and entry[1:].isdigit():
+            if int(entry[1:]) <= next_id - retain:
+                shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     return {"mode": mode, "new_files": len(new), "snapshot": next_name}
 
 

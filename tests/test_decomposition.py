@@ -107,3 +107,9 @@ def test_pca_2d_matches_numpy(spark, sf_dir):
     got_var = sum(x * x + y * y for x, y in got.values())
     # projected variance onto the top-2 components must match numpy's
     assert abs(got_var - var2) / var2 < 1e-9
+
+
+def test_ppmi_svd_unknown_method_rejected(spark):
+    ppmi = spark.createDataFrame([("a", "b", 1.0)], "a string, b string, ppmi double")
+    with pytest.raises(ValueError, match="unknown method"):
+        ppmi_svd_factors(spark, ppmi, method="distrbuted")

@@ -381,3 +381,25 @@ def test_connected_components_clusters(spark):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter must raise, not return silently-wrong clusters."""
+    import pytest
+
+    from information_retrieval_project_spark.dedup.clusters import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=1)
+    # and enough rounds converges to one cluster
+    got = {
+        r["cluster"]
+        for r in connected_components(nodes, chain, max_iter=10).collect()
+    }
+    assert got == {0}

@@ -161,3 +161,33 @@ def test_proximity_match_indexed(spark):
         for r in proximity_match_indexed(spark, idx, "a", "b", 5).collect()
     }
     assert got == {1: 3, 3: 1}
+
+
+def test_build_positions_null_and_empty_content(spark):
+    """Null/empty content = zero tokens (same as every other tokenize path),
+    not a crashed task (NaN->INT64_MIN in np.repeat)."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "")],
+        "doc_id long, content string",
+    )
+    idx = build_positions(docs)
+    assert {r["doc_id"] for r in idx.collect()} == {1}
+    assert idx.count() == 2  # terms a and b of doc 1 only
+
+
+def test_proximity_same_term_requires_two_occurrences(spark):
+    from information_retrieval_project_spark.index.positions import (
+        proximity_match_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a x a"), (2, "a x x"), (3, "a a")],
+        "doc_id long, content string",
+    )
+    idx = build_positions(docs)
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, idx, "a", "a", 5).collect()
+    }
+    # doc 2 has ONE 'a' -> no self-pair hit; docs 1 and 3 have two
+    assert got == {1: 2, 3: 1}

@@ -228,3 +228,49 @@ def test_incremental_update_corrupt_pointer_raises(spark, tmp_path):
         incremental_index_update(
             spark, str(tmp_path), out, BuildConfig(hot_detection_sample=1.0)
         )
+
+
+def test_incremental_update_legacy_layout_raises(spark, tmp_path):
+    """A pre-snapshot out_dir (top-level index/, no CURRENT) must raise, not
+    silently re-merge everything as a fresh start (code-review r3)."""
+    import json
+    import os
+
+    import pytest
+
+    from information_retrieval_project_spark.index.build import BuildConfig
+    from information_retrieval_project_spark.streaming.incremental import (
+        incremental_index_update,
+    )
+
+    out = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(out, "index"))
+    with open(os.path.join(out, "incorporated.json"), "w") as f:
+        json.dump(["part-old.parquet"], f)
+    with pytest.raises(RuntimeError, match="legacy pre-snapshot layout"):
+        incremental_index_update(
+            spark, str(tmp_path), out, BuildConfig(hot_detection_sample=1.0)
+        )
+
+
+def test_incremental_update_retention_keeps_previous_snapshot(spark, tmp_path):
+    """retain=2 (default): the superseded snapshot survives one update so
+    in-flight readers pinned to it keep their files; older ones are GC'd."""
+    import os
+
+    from information_retrieval_project_spark.index.build import BuildConfig
+    from information_retrieval_project_spark.streaming.incremental import (
+        incremental_index_update,
+    )
+
+    tf_dir = str(tmp_path / "tf5")
+    out = str(tmp_path / "idx5")
+    cfg = BuildConfig(hot_df_threshold=10_000, hot_detection_sample=1.0)
+    for i in range(3):
+        pdf = generate_pdf(30, start=30 * i)
+        tokenize_tf(with_doc_id(spark.createDataFrame(pdf))).coalesce(
+            1
+        ).write.mode("append").parquet(tf_dir)
+        incremental_index_update(spark, tf_dir, out, cfg)
+    snaps = sorted(e for e in os.listdir(out) if e.startswith("v"))
+    assert snaps == ["v000002", "v000003"]  # current + one predecessor
