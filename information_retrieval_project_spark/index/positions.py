@@ -98,6 +98,69 @@ def build_positions(corpus_with_id: DataFrame) -> DataFrame:
     )
 
 
+def write_positions(
+    pos_idx: DataFrame, out_dir: str, term_buckets: int = 32
+) -> None:
+    """Persist the positional index partitioned by the same stable
+    term-hash bucket scheme as write_index, with a sidecar recording the
+    modulus (mismatched moduli silently prune valid rows — ADVICE r1's
+    lesson, same contract as index_meta)."""
+    (
+        pos_idx.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{out_dir}/positions")
+    )
+    meta = pos_idx.sparkSession.createDataFrame(
+        [(int(term_buckets),)], "term_buckets int"
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{out_dir}/positions_meta")
+
+
+def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
+    """(positions DataFrame, term_buckets). Raises on a corrupt sidecar
+    (assuming a wrong modulus would silently drop valid rows)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.json(f"{out_dir}/positions_meta").collect()
+    except AnalysisException as e:
+        if "CORRUPT_RECORD" in str(e):
+            raise ValueError(f"corrupt positions_meta in {out_dir}") from e
+        raise
+    if not rows or "term_buckets" not in rows[0].asDict() or rows[0]["term_buckets"] is None:
+        raise ValueError(f"corrupt positions_meta in {out_dir}")
+    return (
+        spark.read.parquet(f"{out_dir}/positions"),
+        int(rows[0]["term_buckets"]),
+    )
+
+
+def prune_terms(
+    pos_idx: DataFrame, terms: list[str], term_buckets: int | None = None
+) -> DataFrame:
+    """Rows for `terms` only; when the index carries a term_bucket partition
+    column the filter includes the bucket values so the scan prunes whole
+    partitions (the modulus MUST be the stored one — read_positions returns
+    it)."""
+    uniq = sorted(set(terms))
+    cond = F.col("term").isin(uniq)
+    if "term_bucket" in pos_idx.columns and term_buckets:
+        buckets = (
+            pos_idx.sparkSession.createDataFrame(
+                [(t,) for t in uniq], "term string"
+            )
+            .select(F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))).alias("tb"))
+            .distinct()
+            .collect()
+        )
+        cond = cond & F.col("term_bucket").isin([r["tb"] for r in buckets])
+    return pos_idx.filter(cond)
+
+
 def decode_position_rows(rows: DataFrame) -> DataFrame:
     """(term, doc_id, positions) → exploded (term, doc_id, pos), one Arrow
     pass (inverse of build_positions' encode)."""
@@ -132,15 +195,17 @@ def proximity_match_indexed(
     term_a: str,
     term_b: str,
     window: int,
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """Docs where term_a and term_b occur within `window` tokens →
     (doc_id, min_dist) — the proximity-ranking primitive. Decode is pruned
     to the two terms; the per-doc join of their position lists is bounded by
     occurrence counts, then one aggregate takes the minimum distance.
     term_a == term_b means two DISTINCT occurrences of the term within the
-    window (self-pairs at distance 0 are excluded)."""
+    window (self-pairs at distance 0 are excluded). term_buckets: stored
+    index's bucket modulus (read_positions) for partition pruning."""
     occ = decode_position_rows(
-        pos_idx.filter(F.col("term").isin([term_a, term_b]))
+        prune_terms(pos_idx, [term_a, term_b], term_buckets)
     )
     a = occ.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
     b = occ.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
@@ -156,7 +221,10 @@ def proximity_match_indexed(
 
 
 def phrase_match_indexed(
-    spark: SparkSession, pos_idx: DataFrame, phrase: list[str]
+    spark: SparkSession,
+    pos_idx: DataFrame,
+    phrase: list[str],
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """Exact phrase hits from the positional index → (doc_id, n_matches).
 
@@ -170,8 +238,7 @@ def phrase_match_indexed(
     slots = spark.createDataFrame(
         [(t, i) for i, t in enumerate(phrase)], "term string, slot int"
     )
-    uniq = sorted(set(phrase))
-    occ = decode_position_rows(pos_idx.filter(F.col("term").isin(uniq)))
+    occ = decode_position_rows(prune_terms(pos_idx, phrase, term_buckets))
     aligned = occ.join(F.broadcast(slots), "term").select(
         "doc_id", (F.col("pos") - F.col("slot")).alias("apos"), "slot"
     )

@@ -191,3 +191,55 @@ def test_proximity_same_term_requires_two_occurrences(spark):
     }
     # doc 2 has ONE 'a' -> no self-pair hit; docs 1 and 3 have two
     assert got == {1: 2, 3: 1}
+
+
+def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
+    """write_positions/read_positions: stored phrase serving is identical to
+    in-memory, the scan prunes term_bucket partitions, and a corrupt sidecar
+    raises (the wrong-modulus lesson from the main index, ADVICE r1)."""
+    import os
+
+    import pytest
+
+    from information_retrieval_project_spark.index.positions import (
+        read_positions,
+        write_positions,
+    )
+
+    out = str(tmp_path / "posidx")
+    ids = with_doc_id(generate_corpus(spark, 150, partitions=2)).cache()
+    idx = build_positions(ids)
+    write_positions(idx, out, term_buckets=8)
+    stored, tb = read_positions(spark, out)
+    assert tb == 8
+
+    phrase = ["def", "main"]
+    want = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_indexed(spark, idx, phrase).collect()
+    }
+    served = phrase_match_indexed(spark, stored, phrase, term_buckets=tb)
+    got = {(r["doc_id"], r["n_matches"]) for r in served.collect()}
+    assert got == want
+
+    # the physical plan must prune partitions on term_bucket
+    from information_retrieval_project_spark.index.positions import prune_terms
+
+    pruned = prune_terms(stored, phrase, tb)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # corrupt sidecar raises instead of assuming a modulus
+    part = next(
+        f for f in os.listdir(f"{out}/positions_meta")
+        if f.startswith("part-") and f.endswith(".json")
+    )
+    with open(os.path.join(out, "positions_meta", part), "w") as f:
+        f.write("{nope")
+    for crc in os.listdir(f"{out}/positions_meta"):
+        if crc.endswith(".crc"):  # stale checksum would fail the read first
+            os.remove(os.path.join(out, "positions_meta", crc))
+    with pytest.raises(ValueError, match="corrupt positions_meta"):
+        read_positions(spark, out)
