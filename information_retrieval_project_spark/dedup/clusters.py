@@ -57,7 +57,8 @@ def connected_components(
 
     prev_sum = label_sum(lab)
     converged = False
-    for _ in range(max_iter):
+    changing_rounds = 0
+    while True:
         nbr_min = (
             edges.join(lab, edges.src == lab.node)
             .groupBy("dst")
@@ -78,6 +79,11 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+        # max_iter bounds CHANGING rounds; the confirming (no-change) round
+        # is free, so a diameter-d graph needs max_iter >= d, not d+1
+        changing_rounds += 1
+        if changing_rounds >= max_iter:
+            break
     if not converged:
         # unconverged labels are silently-wrong clusters (the dedup would
         # keep multiple docs of one component) — refuse to return them

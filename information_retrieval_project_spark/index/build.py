@@ -356,8 +356,10 @@ def write_index(
     the atomic-snapshot commit replaces the rename protocol of
     pipelines/lineage.py, see its module docstring). Identical layout and
     partitioning either way; read back with read_index(fmt=...)."""
+    from .bucketing import term_bucket_expr
+
     (
-        idx.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+        idx.withColumn("term_bucket", term_bucket_expr(term_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")

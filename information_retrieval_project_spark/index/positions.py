@@ -101,32 +101,53 @@ def build_positions(corpus_with_id: DataFrame) -> DataFrame:
 def write_positions(
     pos_idx: DataFrame, out_dir: str, term_buckets: int = 32
 ) -> None:
-    """Persist the positional index partitioned by the same stable
-    term-hash bucket scheme as write_index, with a sidecar recording the
-    modulus (mismatched moduli silently prune valid rows — ADVICE r1's
-    lesson, same contract as index_meta)."""
+    """Persist the positional index partitioned by the shared term-bucket
+    scheme (index/bucketing.py — same hash as the main index), with the
+    modulus recorded next to the data.
+
+    Data and sidecar live in ONE bundle directory published by a single
+    rename, so no crash window can leave a modulus that mismatches the data
+    (the class of silent-pruning bug ADVICE r1 flagged): worst case the
+    bundle is briefly absent, which fails LOUDLY on read. At cluster scale
+    the rename is an Iceberg/metastore snapshot commit (same protocol as
+    streaming/incremental.py)."""
+    import os
+    import shutil
+
+    from .bucketing import term_bucket_expr
+
+    bundle = os.path.join(out_dir, "positions_bundle")
+    tmp = os.path.join(out_dir, "_positions_staging")
+    shutil.rmtree(tmp, ignore_errors=True)
     (
-        pos_idx.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
-        )
+        pos_idx.withColumn("term_bucket", term_bucket_expr(term_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(f"{out_dir}/positions")
+        .parquet(os.path.join(tmp, "data"))
     )
     meta = pos_idx.sparkSession.createDataFrame(
         [(int(term_buckets),)], "term_buckets int"
     )
-    meta.coalesce(1).write.mode("overwrite").json(f"{out_dir}/positions_meta")
+    meta.coalesce(1).write.mode("overwrite").json(os.path.join(tmp, "meta"))
+    old = bundle + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(bundle):
+        os.rename(bundle, old)
+    os.rename(tmp, bundle)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
     """(positions DataFrame, term_buckets). Raises on a corrupt sidecar
     (assuming a wrong modulus would silently drop valid rows)."""
+    import os
+
     from pyspark.errors import AnalysisException
 
+    bundle = os.path.join(out_dir, "positions_bundle")
     try:
-        rows = spark.read.json(f"{out_dir}/positions_meta").collect()
+        rows = spark.read.json(os.path.join(bundle, "meta")).collect()
     except AnalysisException as e:
         if "CORRUPT_RECORD" in str(e):
             raise ValueError(f"corrupt positions_meta in {out_dir}") from e
@@ -134,7 +155,7 @@ def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
     if not rows or "term_buckets" not in rows[0].asDict() or rows[0]["term_buckets"] is None:
         raise ValueError(f"corrupt positions_meta in {out_dir}")
     return (
-        spark.read.parquet(f"{out_dir}/positions"),
+        spark.read.parquet(os.path.join(bundle, "data")),
         int(rows[0]["term_buckets"]),
     )
 
@@ -142,23 +163,11 @@ def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
 def prune_terms(
     pos_idx: DataFrame, terms: list[str], term_buckets: int | None = None
 ) -> DataFrame:
-    """Rows for `terms` only; when the index carries a term_bucket partition
-    column the filter includes the bucket values so the scan prunes whole
-    partitions (the modulus MUST be the stored one — read_positions returns
-    it)."""
-    uniq = sorted(set(terms))
-    cond = F.col("term").isin(uniq)
-    if "term_bucket" in pos_idx.columns and term_buckets:
-        buckets = (
-            pos_idx.sparkSession.createDataFrame(
-                [(t,) for t in uniq], "term string"
-            )
-            .select(F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))).alias("tb"))
-            .distinct()
-            .collect()
-        )
-        cond = cond & F.col("term_bucket").isin([r["tb"] for r in buckets])
-    return pos_idx.filter(cond)
+    """Shared-scheme term+bucket pruning (index/bucketing.prune_terms);
+    the modulus MUST be the stored one — read_positions returns it."""
+    from .bucketing import prune_terms as _prune
+
+    return _prune(pos_idx, terms, term_buckets)
 
 
 def decode_position_rows(rows: DataFrame) -> DataFrame:

@@ -206,16 +206,9 @@ def bm25_topk_compressed(
     (write_index param, recorded in its index_meta sidecar — see
     read_index_meta); a mismatched modulus computes wrong bucket values and
     silently prunes away valid postings (ADVICE r1)."""
-    uniq = sorted(set(query_tokens))
-    cond = F.col("term").isin(uniq)
-    if "term_bucket" in index_df.columns:
-        buckets = (
-            index_df.sparkSession.createDataFrame([(t,) for t in uniq], "term string")
-            .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(int(term_buckets))))
-        )
-        bvals = [r["tb"] for r in buckets.select("tb").distinct().collect()]
-        cond = cond & F.col("term_bucket").isin(bvals)
-    rows = index_df.filter(cond)
+    from ..index.bucketing import prune_terms
+
+    rows = prune_terms(index_df, query_tokens, term_buckets)
     # distinct: a segmented index (BuildConfig.segment_hot_terms) carries one
     # row per (term, segment) with the SAME term-total df on each
     idf = rows.select("term", "df").distinct().select(

@@ -204,12 +204,10 @@ def incremental_index_update(
         f.write(next_name)
     os.replace(ptr_tmp, os.path.join(out_dir, "CURRENT"))
     # retire snapshots beyond the retention window (the new snapshot plus
-    # retain-1 predecessors stay; _recover also enforces this on startup in
-    # case of a crash right here)
-    for entry in os.listdir(out_dir):
-        if entry.startswith("v") and entry[1:].isdigit():
-            if int(entry[1:]) <= next_id - retain:
-                shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
+    # retain-1 predecessors stay): _recover's retention branch is exactly
+    # this deletion relative to the just-committed snapshot, and it also
+    # runs on startup in case of a crash right here
+    _recover(out_dir, next_name, retain)
     return {"mode": mode, "new_files": len(new), "snapshot": next_name}
 
 

@@ -232,14 +232,49 @@ def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
     assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
 
     # corrupt sidecar raises instead of assuming a modulus
+    meta_dir = f"{out}/positions_bundle/meta"
     part = next(
-        f for f in os.listdir(f"{out}/positions_meta")
+        f for f in os.listdir(meta_dir)
         if f.startswith("part-") and f.endswith(".json")
     )
-    with open(os.path.join(out, "positions_meta", part), "w") as f:
+    with open(os.path.join(meta_dir, part), "w") as f:
         f.write("{nope")
-    for crc in os.listdir(f"{out}/positions_meta"):
+    for crc in os.listdir(meta_dir):
         if crc.endswith(".crc"):  # stale checksum would fail the read first
-            os.remove(os.path.join(out, "positions_meta", crc))
+            os.remove(os.path.join(meta_dir, crc))
     with pytest.raises(ValueError, match="corrupt positions_meta"):
         read_positions(spark, out)
+
+
+def test_write_positions_crash_never_mismatches_modulus(spark, tmp_path):
+    """The bundle publish is a single rename: simulate the worst crash
+    window (staging fully written, publish never ran) and assert the reader
+    either sees the OLD consistent bundle or fails loudly — never 8-bucket
+    data paired with a 32-bucket sidecar."""
+    import os
+    import shutil
+
+    from information_retrieval_project_spark.index.positions import (
+        read_positions,
+        write_positions,
+    )
+
+    out = str(tmp_path / "posatomic")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, content string"
+    )
+    idx = build_positions(docs)
+    write_positions(idx, out, term_buckets=32)
+
+    # a re-bucketing run that dies before the rename: stage a new bundle,
+    # don't publish
+    staging = os.path.join(out, "_positions_staging")
+    os.makedirs(os.path.join(staging, "data"), exist_ok=True)
+    stored, tb = read_positions(spark, out)
+    assert tb == 32 and stored.count() == idx.count()  # old bundle intact
+
+    # the next write cleans the stale staging and publishes atomically
+    write_positions(idx, out, term_buckets=8)
+    stored2, tb2 = read_positions(spark, out)
+    assert tb2 == 8 and stored2.count() == idx.count()
+    assert not os.path.exists(staging)
