@@ -2124,6 +2124,44 @@ SQL_PROXIMITY_MATCH = f"""
 """
 
 
+def q_bm25_phrase_topk(spark, sf_dir):
+    """Composed operator: BM25 top-5 AMONG docs containing the exact PHRASE
+    — the 'rank within phrase filter' shape every fulltext engine serves
+    (Lucene's PhraseQuery + scoring). The phrase candidate set (positional
+    self-join) left-semi-joins the scored relation, so scoring work is
+    pruned to phrase docs before the top-k."""
+    scores = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    phrase_docs = q_phrase_match_docs(spark, sf_dir).select("doc_id")
+    # round BEFORE ranking: the oracle's inner CTE materializes rounded
+    # scores, so both sides must rank on the same values or a near-tie in
+    # the 6th decimal flips ranks between engine and oracle
+    filtered = (
+        scores.join(phrase_docs, "doc_id", "left_semi")
+        .select("doc_id", F.round("score", 5).alias("score"))
+    )
+    one = F.col("score") * 0
+    w = Window.partitionBy(one).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        filtered.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_BM25_PHRASE_TOPK = f"""
+    WITH phrase_docs AS ({SQL_PHRASE_MATCH_DOCS}),
+    scored_all AS ({_bm25_sql(BM25_QUERY, with_topk=False)})
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, round(score, 5) AS score
+    FROM (
+        SELECT s.doc_id, s.score FROM scored_all s
+        JOIN phrase_docs p ON s.doc_id = p.doc_id
+    )
+    ORDER BY score DESC, doc_id ASC LIMIT 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2190,6 +2228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "snippets": q_snippets,
     "proximity_match": q_proximity_match,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2257,6 +2296,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "snippets": SQL_SNIPPETS,
     "proximity_match": SQL_PROXIMITY_MATCH,
+    "bm25_phrase_topk": SQL_BM25_PHRASE_TOPK,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

@@ -21,3 +21,12 @@ from .codec import (  # noqa: F401
     varbyte_decode,
     varbyte_encode,
 )
+from .positions import (  # noqa: F401
+    build_positions,
+    decode_position_rows,
+    phrase_match_indexed,
+    proximity_match_indexed,
+    read_positions,
+    write_positions,
+)
+from .bucketing import prune_terms, term_bucket_expr  # noqa: F401

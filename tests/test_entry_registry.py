@@ -20,6 +20,6 @@ def test_no_orphan_oracles():
 
 
 def test_registry_is_nonempty_and_callable():
-    assert len(EQ.QUERIES) >= 65
+    assert len(EQ.QUERIES) >= 66
     assert all(callable(f) for f in EQ.QUERIES.values())
     assert all(isinstance(s, str) and s.strip() for s in EQ.ORACLE_SQL.values())
