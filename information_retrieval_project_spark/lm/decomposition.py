@@ -103,10 +103,15 @@ def _ppmi_svd_distributed(
     )
     svd = IndexedRowMatrix(rows).computeSVD(k, computeU=True)
     s = [float(x) for x in svd.s]
+    # computeSVD may return k' < k singular values (rCond trims the tail on
+    # rank-deficient PPMI matrices, ADVICE r3); every factor vector — U·S
+    # rows AND the zero-fill for context-only terms — must use the SAME
+    # width k' or the output is ragged and downstream cosine math breaks
+    k_actual = len(s)
     u_df = svd.U.rows.map(
         lambda ir: (int(ir.index), [float(x) * sv for x, sv in zip(ir.vector, s)])
     ).toDF("i long, vector array<double>")
-    zeros = F.array(*[F.lit(0.0) for _ in range(k)])
+    zeros = F.array(*[F.lit(0.0) for _ in range(k_actual)])
     factors = (
         idx_df.join(u_df, "i", "left")
         .select("term", F.coalesce("vector", zeros).alias("vector"))

@@ -76,11 +76,14 @@ def topk(scores: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k with rank. ORDER BY score DESC, doc_id ASC LIMIT k
     compiles to TakeOrderedAndProject — per-partition heaps, k rows shuffled.
     The rank window then runs over exactly those k rows; the constant
-    partition key (score*0 — nullable, so Catalyst keeps it, same idiom as
-    entry_queries.q_pr_curve) says that one partition IS the point and keeps
-    the WindowExec single-partition warning out of bench logs."""
+    partition key (doc_id*0 — nullable long, so Catalyst keeps it) says that
+    one partition IS the point and keeps the WindowExec single-partition
+    warning out of bench logs. doc_id*0, NOT score*0 (ADVICE r3): a NaN/±inf
+    score times 0 is NaN, which would split NaN-scored rows into their own
+    partition and restart row_number; integer doc_id arithmetic cannot
+    produce NaN."""
     out = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.partitionBy(F.col("score") * 0).orderBy(
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
     return out.withColumn("rank", F.row_number().over(w)).select(

@@ -29,12 +29,20 @@ def kmv_state(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     with their rank. Mergeable: union states → re-take k smallest."""
     from pyspark.sql import Window
 
-    hashes = df.select(F.col(col).alias("v")).distinct().select(
-        _unit_hash(F.col("v")).alias("h")
+    # nulls are filtered BEFORE hashing — distinct-count semantics ignore
+    # null (SQL count(DISTINCT ..)), and a null h would otherwise land in
+    # its own window partition (null*0 = null) and duplicate ranks
+    hashes = (
+        df.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .select(_unit_hash(F.col("v")).alias("h"))
     )
     # rank window runs over the ≤k rows surviving the limit; the constant
     # nullable partition key (h*0) marks single-partition as intended and
-    # silences the WindowExec warning (pr_curve idiom).
+    # silences the WindowExec warning (pr_curve idiom). h is conv() hex
+    # arithmetic over a non-null input — finite by construction, so the
+    # NaN*0 trap (ADVICE r3) cannot fire here.
     w = Window.partitionBy(F.col("h") * 0).orderBy("h")
     return (
         hashes.orderBy("h")

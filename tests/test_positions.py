@@ -175,6 +175,43 @@ def test_build_positions_null_and_empty_content(spark):
     assert idx.count() == 2  # terms a and b of doc 1 only
 
 
+def test_proximity_hot_term_is_linear_not_quadratic(spark):
+    """Pathological skew (VERDICT r3 #3): a stopword-frequency term pair in
+    ONE long doc — 10⁴ occurrences of each term. The old per-doc position
+    JOIN built occ_a × occ_b = 10⁸ pairs here; the sorted-merge kernel is
+    O(occ_a + occ_b) and must finish in bounded time with the exact
+    min-distance."""
+    import time
+
+    from information_retrieval_project_spark.index.positions import (
+        proximity_match_indexed,
+    )
+
+    n = 10_000
+    hot = "a b " * n                    # a at even, b at odd → min_dist 1
+    far = "a " + "x " * 50 + "b"        # min_dist 51 → excluded at window 5
+    docs = spark.createDataFrame(
+        [(1, hot), (2, far)], "doc_id long, content string"
+    )
+    idx = build_positions(docs)
+    t0 = time.time()
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, idx, "a", "b", 5).collect()
+    }
+    assert got == {1: 1}
+    # generous bound: the quadratic kernel took minutes on this input
+    assert time.time() - t0 < 60
+
+    # same-term variant on the same hot doc: 10⁴ occurrences of 'a',
+    # consecutive gap 2
+    got_same = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, idx, "a", "a", 5).collect()
+    }
+    assert got_same == {1: 2}
+
+
 def test_proximity_same_term_requires_two_occurrences(spark):
     from information_retrieval_project_spark.index.positions import (
         proximity_match_indexed,
@@ -232,7 +269,8 @@ def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
     assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:300]
 
     # corrupt sidecar raises instead of assuming a modulus
-    meta_dir = f"{out}/positions_bundle/meta"
+    with open(f"{out}/POSITIONS_CURRENT") as f:
+        meta_dir = f"{out}/{f.read().strip()}/meta"
     part = next(
         f for f in os.listdir(meta_dir)
         if f.startswith("part-") and f.endswith(".json")
@@ -247,12 +285,12 @@ def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
 
 
 def test_write_positions_crash_never_mismatches_modulus(spark, tmp_path):
-    """The bundle publish is a single rename: simulate the worst crash
-    window (staging fully written, publish never ran) and assert the reader
-    either sees the OLD consistent bundle or fails loudly — never 8-bucket
-    data paired with a 32-bucket sidecar."""
+    """CURRENT-pointer snapshot protocol (ADVICE r3 — same as
+    streaming/incremental.py): simulate every crash window and assert the
+    reader always sees A consistent committed snapshot — never 8-bucket
+    data paired with a 32-bucket sidecar, and never NO bundle at all (the
+    old rename-pair protocol's gap)."""
     import os
-    import shutil
 
     from information_retrieval_project_spark.index.positions import (
         read_positions,
@@ -266,15 +304,33 @@ def test_write_positions_crash_never_mismatches_modulus(spark, tmp_path):
     idx = build_positions(docs)
     write_positions(idx, out, term_buckets=32)
 
-    # a re-bucketing run that dies before the rename: stage a new bundle,
-    # don't publish
-    staging = os.path.join(out, "_positions_staging")
+    # crash window 1: a re-bucketing run dies before the version-dir
+    # rename (staging written, never published)
+    staging = os.path.join(out, "_positions_staging_positions_v000042")
     os.makedirs(os.path.join(staging, "data"), exist_ok=True)
     stored, tb = read_positions(spark, out)
-    assert tb == 32 and stored.count() == idx.count()  # old bundle intact
+    assert tb == 32 and stored.count() == idx.count()  # old snapshot intact
 
-    # the next write cleans the stale staging and publishes atomically
+    # crash window 2: version dir published but the pointer flip never ran
+    # — the pointer still names the old consistent snapshot
+    orphan = os.path.join(out, "positions_v000099")
+    os.makedirs(os.path.join(orphan, "data"), exist_ok=True)
+    stored, tb = read_positions(spark, out)
+    assert tb == 32 and stored.count() == idx.count()
+
+    # the next write cleans stale staging, publishes a fresh version, and
+    # flips the pointer; the PREVIOUS committed snapshot is retained for
+    # in-flight readers (retain=2)
     write_positions(idx, out, term_buckets=8)
     stored2, tb2 = read_positions(spark, out)
     assert tb2 == 8 and stored2.count() == idx.count()
     assert not os.path.exists(staging)
+    assert not os.path.exists(orphan)  # never-committed dirs are GC'd
+
+    # a pointer naming a missing snapshot fails LOUDLY, never guesses
+    with open(os.path.join(out, "POSITIONS_CURRENT"), "w") as f:
+        f.write("positions_v999999")
+    import pytest
+
+    with pytest.raises(ValueError, match="missing snapshot"):
+        read_positions(spark, out)
