@@ -27,6 +27,7 @@ from .positions import (  # noqa: F401
     phrase_match_indexed,
     proximity_match_indexed,
     read_positions,
+    tokenize_tf_positions,
     write_positions,
 )
 from .bucketing import prune_terms, term_bucket_expr  # noqa: F401

@@ -230,6 +230,68 @@ def test_proximity_same_term_requires_two_occurrences(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_fused_build_identity_and_single_scan(spark, tmp_path):
+    """build_index(positions=True) — ONE fused tokenize pass feeding both
+    the inverted index and the positional index (VERDICT r3 #4). The fused
+    outputs must be byte-identical to the two-pass build, and the plan must
+    contain exactly ONE corpus scan (the two-pass build pays the dominant
+    scan+tokenize stage twice)."""
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_index,
+    )
+
+    src = str(tmp_path / "corpus")
+    generate_corpus(spark, 150, partitions=2).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    # sample=0: hot detection reads the (cached) fused tf itself, so the
+    # single-scan assertion below isn't clouded by the sampled pre-job
+    cfg = BuildConfig(hot_detection_sample=0.0)
+
+    idx, ds, cs, pos = build_index(corpus, cfg, positions=True)
+    idx2, ds2, cs2 = build_index(corpus, cfg)
+    pos2 = build_positions(with_doc_id(corpus))
+
+    def rows(df):
+        return sorted(
+            tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+            for r in df.collect()
+        )
+
+    assert rows(idx) == rows(idx2)          # postings byte-identical
+    assert rows(ds) == rows(ds2)
+    assert rows(cs) == rows(cs2)
+    assert rows(pos) == rows(pos2)          # positions byte-identical
+    # n_occ IS tf: the fused pass's counts equal the default Arrow-kernel
+    # tokenize path's tf triples (cross-strategy parity)
+    from information_retrieval_project_spark.index.build import tokenize_tf
+
+    assert rows(pos.select("doc_id", "term", F.col("n_occ").alias("tf"))) == rows(
+        tokenize_tf(with_doc_id(corpus))
+    )
+
+    # single corpus scan, proven behaviorally (formatted AQE plans repeat
+    # cached subtrees, so string-counting scans is meaningless): after the
+    # fused relation is materialized, DELETE the source files — every output
+    # of the fused build still computes, because they all read the ONE
+    # cached fused relation. A plan that actually needs a second corpus
+    # scan (the Arrow tokenize path — different canonical plan, so no cache
+    # substitution) fails on the same deleted files, proving the deletion
+    # detects real rescans. (build_positions / tokenize_tf themselves would
+    # silently hit the fused/tf caches — identical canonical subplans —
+    # which is the plan-reuse working as designed.)
+    import shutil
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    shutil.rmtree(src)
+    assert idx.count() > 0 and pos.count() > 0
+    assert ds.count() > 0 and cs.count() == 1
+    with pytest.raises(Py4JJavaError):
+        corpus.count()  # an uncached plan over the same files DOES rescan
+
+
 def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
     """write_positions/read_positions: stored phrase serving is identical to
     in-memory, the scan prunes term_bucket partitions, and a corrupt sidecar
