@@ -357,6 +357,14 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # value = SUM OF PER-QUERY BEST-OF-2 minima since round 3 (rounds
+        # 1-2 recorded single-pass wall-clock — NOT comparable across that
+        # boundary; ADVICE r3). value_wall_single_pass is the old
+        # definition, emitted alongside for round-over-round comparisons.
+        "value_semantics": "sum_of_per_query_best_of_reps",
+        "value_wall_single_pass": round(
+            sum(reps[0] for reps in qreps.values()), 3
+        ),
         "queries": qtimes,
         "query_reps": qreps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

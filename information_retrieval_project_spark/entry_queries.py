@@ -169,9 +169,11 @@ def q_bm25_scores(spark, sf_dir):
     return s.select("doc_id", F.round("score", 5).alias("score"))
 
 
-def _bm25_sql(terms: list[str], with_topk: bool) -> str:
+def _bm25_sql_body(terms: list[str]) -> str:
+    """The shared WITH-chain ending in `scored(doc_id, score)` (unrounded)
+    — composable: append further CTEs with a comma."""
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
-    body = f"""
+    return f"""
     WITH tf AS ({_TF_SQL}),
     ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
     stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ds),
@@ -192,6 +194,10 @@ def _bm25_sql(terms: list[str], with_topk: bool) -> str:
         GROUP BY cand.doc_id
     )
     """
+
+
+def _bm25_sql(terms: list[str], with_topk: bool) -> str:
+    body = _bm25_sql_body(terms)
     if with_topk:
         return (
             body
@@ -2174,6 +2180,115 @@ SQL_BM25_PHRASE_TOPK = f"""
 """
 
 
+def q_bm25_phrase_topk_served(spark, sf_dir):
+    """The SAME phrase-filtered BM25 top-5 as bm25_phrase_topk, but served
+    ENTIRELY from stored index structures (VERDICT r3 #7,
+    queryexec/wand.bm25_phrase_topk_compressed): the phrase candidates come
+    from the positional index and the scores from the compressed posting
+    index — both term-pruned, corpus never touched. Oracled by the
+    identical corpus-side SQL, proving rank-identity of the index-served
+    composition."""
+    from .index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from .index.positions import tokenize_tf_positions
+    from .queryexec.wand import bm25_phrase_topk_compressed
+
+    # ONE fused tokenize pass feeds both index structures (build_index
+    # positions=True shape, inlined here to keep the gate self-contained)
+    fused = tokenize_tf_positions(_docs_as_corpus(spark, sf_dir))
+    tf = fused.select("doc_id", "term", "tf")
+    pos_idx = fused.select(
+        "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
+    )
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0),
+    )
+    out = bm25_phrase_topk_compressed(
+        spark,
+        idx,
+        ds,
+        cs["n_docs"],
+        cs["avgdl"],
+        pos_idx,
+        list(PHRASE),
+        BM25_QUERY,
+        k=5,
+        round_scores=5,  # rank on rounded values, same as the oracle
+    )
+    return out.select("rank", "doc_id", "score")
+
+
+PROX_BOOST_WINDOW = 8
+
+
+def q_bm25_proximity_topk(spark, sf_dir):
+    """Proximity-RANKED retrieval (VERDICT r3 #8): BM25 over the PROX terms
+    with a multiplicative proximity boost — score' = bm25 · (1 + 1/(1 +
+    min_dist)) for docs whose terms co-occur within PROX_BOOST_WINDOW
+    tokens, plain bm25 otherwise. The standard composed ranker (term match
+    decides the candidate set, proximity sharpens the order); min_dist
+    comes from the positional index's bounded sorted-merge kernel."""
+    from .index.positions import build_positions, proximity_match_indexed
+
+    scores = _bm25_scores(spark, sf_dir, list(PROX))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    idx = build_positions(docs)
+    prox = proximity_match_indexed(
+        spark, idx, PROX[0], PROX[1], PROX_BOOST_WINDOW
+    )
+    boost = 1.0 + F.when(
+        F.col("min_dist").isNotNull(), 1.0 / (1.0 + F.col("min_dist"))
+    ).otherwise(0.0)
+    boosted = scores.join(prox, "doc_id", "left").select(
+        "doc_id", F.round(F.col("score") * boost, 5).alias("score")
+    )
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_BM25_PROXIMITY_TOPK = f"""
+    {_bm25_sql_body(list(PROX))},
+    pos AS ({_POSITIONS_SQL}),
+    pa AS (SELECT doc_id, pos FROM pos WHERE term = '{PROX[0]}'),
+    pb AS (SELECT doc_id, pos FROM pos WHERE term = '{PROX[1]}'),
+    prox AS (
+        SELECT pa.doc_id, min(abs(pa.pos - pb.pos)) AS min_dist
+        FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+        GROUP BY pa.doc_id
+        HAVING min(abs(pa.pos - pb.pos)) <= {PROX_BOOST_WINDOW}
+    ),
+    boosted AS (
+        -- boost multiplies the UNROUNDED bm25 score (scored CTE), then one
+        -- final round — same float pipeline as the engine, and ranking runs
+        -- on the rounded value on both sides
+        SELECT s.doc_id,
+               round(s.score * (1.0 + CASE WHEN p.doc_id IS NOT NULL
+                     THEN 1.0 / (1.0 + p.min_dist) ELSE 0.0 END), 5) AS score
+        FROM scored s LEFT JOIN prox p ON s.doc_id = p.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM boosted
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2241,6 +2356,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets": q_snippets,
     "proximity_match": q_proximity_match,
     "bm25_phrase_topk": q_bm25_phrase_topk,
+    "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
+    "bm25_proximity_topk": q_bm25_proximity_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2309,6 +2426,8 @@ ORACLE_SQL: dict[str, str] = {
     "snippets": SQL_SNIPPETS,
     "proximity_match": SQL_PROXIMITY_MATCH,
     "bm25_phrase_topk": SQL_BM25_PHRASE_TOPK,
+    "bm25_phrase_topk_served": SQL_BM25_PHRASE_TOPK,
+    "bm25_proximity_topk": SQL_BM25_PROXIMITY_TOPK,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

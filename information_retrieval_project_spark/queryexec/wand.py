@@ -187,6 +187,72 @@ def decode_candidates(index_rows: DataFrame) -> DataFrame:
     )
 
 
+def bm25_phrase_topk_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    pos_idx: DataFrame,
+    phrase: list[str],
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    pos_term_buckets: int | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Phrase-filtered BM25 top-k served ENTIRELY from stored indexes
+    (VERDICT r3 #7): the phrase candidate set comes from the positional
+    index (index/positions.phrase_match_indexed — decode pruned to the
+    phrase terms, bucket partition pruning via pos_term_buckets) and the
+    scores come from the compressed posting index (bucket-pruned via
+    term_buckets) — the corpus is never touched. This is Lucene's
+    PhraseQuery+scoring shape: both index structures are pruned to their
+    query terms, and scoring work is cut to phrase docs BEFORE the top-k
+    (left-semi on the decoded candidates, so the per-doc aggregate only
+    sees phrase docs).
+
+    round_scores: round to this many decimals BEFORE ranking (rank ties on
+    the rounded value — pass the same value the comparison oracle rounds
+    to, see entry_queries.SQL_BM25_PHRASE_TOPK)."""
+    from ..index.bucketing import prune_terms
+    from ..index.positions import phrase_match_indexed
+
+    phrase_docs = phrase_match_indexed(
+        spark, pos_idx, phrase, pos_term_buckets
+    ).select("doc_id")
+    rows = prune_terms(index_df, query_tokens, term_buckets)
+    idf = rows.select("term", "df").distinct().select(
+        "term",
+        F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    # df/idf are GLOBAL (read from the stored index rows, above) — the
+    # phrase filter prunes candidates, never the statistics
+    cand = decode_candidates(rows).join(phrase_docs, "doc_id", "left_semi")
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .join(doc_stats_df, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.select("doc_id", F.round("score", round_scores).alias("score"))
+    return topk(scored, k)
+
+
 def bm25_topk_compressed(
     spark: SparkSession,
     index_df: DataFrame,
