@@ -213,7 +213,12 @@ SQL_BM25_SCORES = _bm25_sql(BM25_QUERY, with_topk=False)
 
 def q_bm25_topk(spark, sf_dir):
     s = _bm25_scores(spark, sf_dir, BM25_QUERY)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # constant nullable int key: the window runs over the 10 post-limit
+    # rows by design — the key silences the WindowExec single-partition
+    # warning (doc_id*0, never NaN; see queryexec/bm25.topk)
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return (
         s.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
@@ -887,7 +892,9 @@ def q_top_customers(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+    w = Window.partitionBy(F.col("o_custkey") * 0).orderBy(
+        F.desc("total_spent"), F.asc("o_custkey")
+    )
     return (
         agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
         .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
@@ -1468,10 +1475,26 @@ def q_target_doc_threshold(spark, sf_dir):
     ranking (data_manager.py:129-130, main.py:41-43 → SURVEY.md W2):
     target = doc_id 38, plus its rank among all scored docs."""
     s = _bm25_scores(spark, sf_dir, BM25_QUERY)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    ranked = s.withColumn("rank", F.row_number().over(w))
-    return ranked.filter(F.col("doc_id") == 38).select(
-        "doc_id", F.round("score", 5).alias("threshold"), "rank"
+    # rank-of-one-doc WITHOUT a global single-partition window (scale fix:
+    # row_number over the whole scored relation serializes it through one
+    # task): rank = 1 + |docs strictly ahead in (score DESC, doc_id ASC)|
+    # — a fully parallel broadcast-join + aggregate, same value as the
+    # window by definition of row_number.
+    target = s.filter(F.col("doc_id") == 38).select(
+        F.col("doc_id").alias("t_doc"), F.col("score").alias("t_score")
+    )
+    ahead = (
+        s.crossJoin(F.broadcast(target))
+        .filter(
+            (F.col("score") > F.col("t_score"))
+            | ((F.col("score") == F.col("t_score")) & (F.col("doc_id") < F.col("t_doc")))
+        )
+        .agg(F.count("*").alias("n_ahead"))
+    )
+    return target.crossJoin(F.broadcast(ahead)).select(
+        F.col("t_doc").alias("doc_id"),
+        F.round("t_score", 5).alias("threshold"),
+        (F.col("n_ahead") + 1).cast("int").alias("rank"),
     )
 
 
@@ -1842,7 +1865,9 @@ def q_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    w = Window.partitionBy(F.col("o_orderkey") * 0).orderBy(
+        F.desc("revenue"), F.asc("o_orderkey")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -2289,6 +2314,138 @@ SQL_BM25_PROXIMITY_TOPK = f"""
 """
 
 
+PRF_N_DOCS = 5     # feedback depth
+PRF_N_TERMS = 3    # expansion terms
+PRF_BETA = 0.5     # Rocchio weight of expansion terms (original terms 1.0)
+
+
+def q_prf_bm25_topk(spark, sf_dir):
+    """Pseudo-relevance-feedback BM25 (Rocchio/RM3-lite — the composed form
+    of the reference's query_expansion, data_manager.py:683-739, driven by
+    the RANKER instead of PPMI): (1) BM25 top-PRF_N_DOCS for the original
+    query; (2) the PRF_N_TERMS highest-tf terms across those feedback docs
+    (original terms excluded, tie-break term ASC) join the query at weight
+    PRF_BETA; (3) re-score with per-term weights and rank top-10. Every
+    stage is deterministic and the oracle mirrors the CTE chain exactly;
+    feedback-doc selection and final ranking both run on 5-decimal-rounded
+    scores so near-ties cannot flip membership between engine and oracle."""
+    orig = sorted(set(BM25_QUERY))
+    tf = _tf(spark, sf_dir).persist()
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+
+    def scored(wterms):
+        cand = tf.join(F.broadcast(wterms), "term")
+        dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
+        return (
+            cand.join(F.broadcast(dfq), "term")
+            .join(ds, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .withColumn(
+                "contrib",
+                F.col("w") * F.col("idf") * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 5).alias("score"))
+        )
+
+    w1 = spark.createDataFrame([(t, 1.0) for t in orig], "term string, w double")
+    fb_docs = (
+        scored(w1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PRF_N_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        tf.join(F.broadcast(fb_docs), "doc_id")
+        .filter(~F.col("term").isin(orig))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .orderBy(F.desc("fb_tf"), F.asc("term"))
+        .limit(PRF_N_TERMS)
+        .select("term", F.lit(float(PRF_BETA)).alias("w"))
+    )
+    w2 = w1.unionByName(exp_terms)
+    out = scored(w2)
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    out = (
+        out.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+_PRF_ORIG = ", ".join(f"('{t}', 1.0)" for t in sorted(set(BM25_QUERY)))
+_PRF_NOTIN = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+
+SQL_PRF_BM25_TOPK = f"""
+    WITH tf AS ({_TF_SQL}),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ds),
+    w1(term, w) AS (VALUES {_PRF_ORIG}),
+    s1 AS (
+        SELECT cand.doc_id,
+               round(sum(
+                   w1.w
+                   * ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (cand.tf * ({K1} + 1.0))
+                   / (cand.tf + {K1} * (1.0 - {B} + {B} * ds.doc_len / stats.avgdl))
+               ), 5) AS score
+        FROM tf cand
+        JOIN w1 USING (term)
+        JOIN (SELECT term, count(*) AS df FROM tf JOIN w1 USING (term) GROUP BY term) dfq
+             ON cand.term = dfq.term
+        JOIN ds ON cand.doc_id = ds.doc_id
+        CROSS JOIN stats
+        GROUP BY cand.doc_id
+    ),
+    fb_docs AS (
+        SELECT doc_id FROM s1 ORDER BY score DESC, doc_id ASC LIMIT {PRF_N_DOCS}
+    ),
+    exp_terms AS (
+        SELECT term, {PRF_BETA} AS w
+        FROM tf JOIN fb_docs USING (doc_id)
+        WHERE term NOT IN ({_PRF_NOTIN})
+        GROUP BY term
+        ORDER BY sum(tf) DESC, term ASC LIMIT {PRF_N_TERMS}
+    ),
+    w2 AS (SELECT term, w FROM w1 UNION ALL SELECT term, w FROM exp_terms),
+    s2 AS (
+        SELECT cand.doc_id,
+               round(sum(
+                   w2.w
+                   * ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (cand.tf * ({K1} + 1.0))
+                   / (cand.tf + {K1} * (1.0 - {B} + {B} * ds.doc_len / stats.avgdl))
+               ), 5) AS score
+        FROM tf cand
+        JOIN w2 USING (term)
+        JOIN (SELECT term, count(*) AS df FROM tf JOIN w2 USING (term) GROUP BY term) dfq
+             ON cand.term = dfq.term
+        JOIN ds ON cand.doc_id = ds.doc_id
+        CROSS JOIN stats
+        GROUP BY cand.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM s2
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2358,6 +2515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
     "bm25_proximity_topk": q_bm25_proximity_topk,
+    "prf_bm25_topk": q_prf_bm25_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2428,6 +2586,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_phrase_topk": SQL_BM25_PHRASE_TOPK,
     "bm25_phrase_topk_served": SQL_BM25_PHRASE_TOPK,
     "bm25_proximity_topk": SQL_BM25_PROXIMITY_TOPK,
+    "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

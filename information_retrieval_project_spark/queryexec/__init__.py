@@ -1,3 +1,13 @@
-from .bm25 import bm25_scores, bm25_topk, query_terms_df, topk  # noqa: F401
+from .bm25 import (  # noqa: F401
+    bm25_scores,
+    bm25_topk,
+    bm25_topk_batch,
+    query_terms_df,
+    topk,
+)
 from .tfidf import tfidf_cosine_topk, tfidf_weights  # noqa: F401
-from .wand import bm25_topk_compressed, wand_topk  # noqa: F401
+from .wand import (  # noqa: F401
+    bm25_phrase_topk_compressed,
+    bm25_topk_compressed,
+    wand_topk,
+)

@@ -89,8 +89,25 @@ def test_capped_band_join_stays_hash_equi(spark, sf_dir):
 def test_batch_bm25_window_partitioned_by_query(spark, sf_dir):
     """The query-set rank window must be PARTITIONED by query_id (parallel
     across queries) and the (query_id, term) relation broadcast — the whole
-    point of the one-plan batch form."""
-    p = plan(EQ.q_bm25_topk_batch(spark, sf_dir))
+    point of the one-plan batch form. Asserted on the library function's
+    plan directly: the gate wrapper localCheckpoints its k-row result (to
+    unpersist tf without a lingering cache), which replaces the visible
+    plan with a checkpoint scan."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_project_spark.queryexec.bm25 import (
+        bm25_topk_batch,
+    )
+
+    tf = EQ._tf(spark, sf_dir)
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    out = bm25_topk_batch(
+        spark, tf, ds, stats["n_docs"], stats["avgdl"], EQ.BATCH_QUERIES, k=5
+    )
+    p = plan(out)
     assert "BroadcastHashJoin" in p
     # a Window over partitionBy(query_id) plans an Exchange hashpartitioning
     # on query_id; an unpartitioned window would plan SinglePartition instead
