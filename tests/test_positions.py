@@ -312,14 +312,30 @@ def test_positions_storage_roundtrip_and_pruning(spark, tmp_path):
     stored, tb = read_positions(spark, out)
     assert tb == 8
 
-    phrase = ["def", "main"]
+    # a phrase guaranteed present (the corpus's most frequent adjacent
+    # pair) — 'def main' does NOT occur in this corpus, so a fixed phrase
+    # made the stored==in-memory identity vacuously []==[]
+    pos_rel = _corpus_positions(ids)
+    top = (
+        pos_rel.alias("a")
+        .join(
+            pos_rel.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    phrase = [top["w1"], top["w2"]]
     want = {
         (r["doc_id"], r["n_matches"])
         for r in phrase_match_indexed(spark, idx, phrase).collect()
     }
     served = phrase_match_indexed(spark, stored, phrase, term_buckets=tb)
     got = {(r["doc_id"], r["n_matches"]) for r in served.collect()}
-    assert got == want
+    assert got == want and got  # non-trivial by construction
 
     # the physical plan must prune partitions on term_bucket
     from information_retrieval_project_spark.index.positions import prune_terms
@@ -396,3 +412,107 @@ def test_write_positions_crash_never_mismatches_modulus(spark, tmp_path):
 
     with pytest.raises(ValueError, match="missing snapshot"):
         read_positions(spark, out)
+
+
+def test_phrase_topk_served_from_stored_segmented_indexes(spark, tmp_path):
+    """End-to-end index-served phrase ranking (VERDICT r3 #7): ONE fused
+    build (positions=True) → write BOTH structures (compressed postings
+    bucketed at 16, positions at 8, SEGMENTED hot terms) → read back →
+    bm25_phrase_topk_compressed. Must be rank-identical (scores ±1e-9) to
+    the in-memory unsegmented composition — proving the stored/segmented
+    serving path end to end, including the per-segment df=term-total and
+    cross-segment per-doc contribution summing."""
+    import pytest as _pytest
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_index,
+        read_index,
+        read_index_meta,
+        write_index,
+    )
+    from information_retrieval_project_spark.index.positions import (
+        read_positions,
+        write_positions,
+    )
+    from information_retrieval_project_spark.queryexec.bm25 import (
+        bm25_scores,
+        query_terms_df,
+        topk,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_phrase_topk_compressed,
+    )
+
+    out = str(tmp_path / "served")
+    corpus = generate_corpus(spark, 300, partitions=3)
+    cfg = BuildConfig(
+        hot_df_threshold=50,
+        docs_per_salt=60,
+        hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    idx, ds, cs, pos = build_index(corpus, cfg, positions=True)
+    assert idx.filter(F.col("segment") > 0).count() > 0  # segmentation real
+    write_index(idx, ds, cs, out, term_buckets=16)
+    write_positions(pos, out, term_buckets=8)
+
+    r_idx, r_ds, r_cs = read_index(spark, out)
+    meta = read_index_meta(spark, out)
+    r_pos, ptb = read_positions(spark, out)
+    assert ptb == 8 and meta["term_buckets"] == 16
+    cs_row = r_cs.collect()[0]
+
+    # a phrase guaranteed present: the corpus's most frequent adjacent pair
+    ids = with_doc_id(corpus)
+    pos_rel = _corpus_positions(ids)
+    top = (
+        pos_rel.alias("a")
+        .join(
+            pos_rel.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    phrase = [top["w1"], top["w2"]]
+    query = ["def", "return", "import"]
+    served = bm25_phrase_topk_compressed(
+        spark,
+        r_idx,
+        r_ds,
+        cs_row["n_docs"],
+        cs_row["avgdl"],
+        r_pos,
+        phrase,
+        query,
+        k=10,
+        term_buckets=meta["term_buckets"],
+        pos_term_buckets=ptb,
+    ).collect()
+
+    # reference: in-memory unsegmented tf-relation composition
+    from information_retrieval_project_spark.index.build import tokenize_tf
+
+    tf = tokenize_tf(ids).cache()
+    ds0 = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    phrase_docs = phrase_match_indexed(
+        spark, build_positions(ids), phrase
+    ).select("doc_id")
+    scores = bm25_scores(
+        tf,
+        ds0,
+        cs_row["n_docs"],
+        cs_row["avgdl"],
+        query_terms_df(spark, query),
+    ).join(phrase_docs, "doc_id", "left_semi")
+    want = topk(scores, 10).collect()
+
+    assert [r["doc_id"] for r in served] == [r["doc_id"] for r in want]
+    assert served and len(served) == len(want)
+    for a, b in zip(served, want):
+        assert a["rank"] == b["rank"]
+        assert a["score"] == _pytest.approx(b["score"], abs=1e-9)
