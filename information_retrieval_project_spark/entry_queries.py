@@ -2446,6 +2446,81 @@ SQL_PRF_BM25_TOPK = f"""
 """
 
 
+def q_facet_counts(spark, sf_dir):
+    """Faceted search, the counts side (queryexec/facets.py — Solr facets /
+    Elasticsearch terms aggs; the reference's result page is a bare ranked
+    list): for docs matching ANY BM25_QUERY term, count matching docs per
+    (facet, value) over BOTH metadata dimensions (lang, source) in ONE
+    stack + ONE hash aggregation — not one job per facet."""
+    from .queryexec.facets import facet_counts, matched_docs
+
+    tf = _tf(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(set(BM25_QUERY))], "term string"
+    )
+    match = matched_docs(tf, terms)
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return facet_counts(match, meta, ["lang", "source"])
+
+
+SQL_FACET_COUNTS = f"""
+    WITH tf AS ({_TF_SQL}),
+    qterms(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))}),
+    match AS (SELECT DISTINCT doc_id FROM tf JOIN qterms USING (term)),
+    m AS (SELECT d.lang, d.source FROM documents d JOIN match USING (doc_id))
+    SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+           count(*) AS n_docs
+    FROM m GROUP BY lang
+    UNION ALL
+    SELECT 'source' AS facet, CAST(source AS VARCHAR) AS value,
+           count(*) AS n_docs
+    FROM m GROUP BY source
+"""
+
+FACET_DRILL = ("lang", "en")
+
+
+def q_bm25_topk_faceted(spark, sf_dir):
+    """Faceted search, the drill-down side: BM25 top-5 WITHIN facet
+    lang='en' — the filter every result page applies when a facet value is
+    clicked. The facet filter semi-joins the scored relation (scoring work
+    pruned to the facet's docs before top-k); ranking runs on 5-decimal-
+    rounded scores on both sides (filtered membership makes near-ties
+    rank-relevant)."""
+    scores = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    facet_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col(FACET_DRILL[0]) == FACET_DRILL[1])
+        .select("doc_id")
+    )
+    filtered = scores.join(facet_docs, "doc_id", "left_semi").select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        filtered.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+SQL_BM25_TOPK_FACETED = f"""
+    WITH scored_all AS ({_bm25_sql(BM25_QUERY, with_topk=False)})
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM (
+        SELECT s.doc_id, round(s.score, 5) AS score
+        FROM scored_all s
+        JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.{FACET_DRILL[0]} = '{FACET_DRILL[1]}'
+    )
+    ORDER BY score DESC, doc_id ASC LIMIT 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2516,6 +2591,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
     "bm25_proximity_topk": q_bm25_proximity_topk,
     "prf_bm25_topk": q_prf_bm25_topk,
+    "facet_counts": q_facet_counts,
+    "bm25_topk_faceted": q_bm25_topk_faceted,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2587,6 +2664,8 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_phrase_topk_served": SQL_BM25_PHRASE_TOPK,
     "bm25_proximity_topk": SQL_BM25_PROXIMITY_TOPK,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
+    "facet_counts": SQL_FACET_COUNTS,
+    "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }

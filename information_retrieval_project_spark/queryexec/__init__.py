@@ -5,6 +5,7 @@ from .bm25 import (  # noqa: F401
     query_terms_df,
     topk,
 )
+from .facets import facet_counts, matched_docs  # noqa: F401
 from .tfidf import tfidf_cosine_topk, tfidf_weights  # noqa: F401
 from .wand import (  # noqa: F401
     bm25_phrase_topk_compressed,
