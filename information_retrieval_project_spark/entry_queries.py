@@ -1189,6 +1189,31 @@ SQL_BOOLEAN_AND_DOCS = f"""
 """
 
 
+def q_boolean_or_not_docs(spark, sf_dir):
+    """The full boolean retrieval shape '(a OR b) AND NOT c' — completes
+    the posting-algebra surface next to the conjunctive gate: OR = distinct
+    union of the positive terms' postings (one term-pruned scan, no
+    per-term jobs), NOT = left-anti against the negative term's postings.
+    At scale both sides are broadcast-pruned posting streams; the anti-join
+    keys on doc_id."""
+    tf = _tf(spark, sf_dir)
+    pos = (
+        tf.filter(F.col("term").isin("join", "spark"))
+        .select("doc_id")
+        .distinct()
+    )
+    neg = tf.filter(F.col("term") == "window").select("doc_id")
+    return pos.join(neg, "doc_id", "left_anti")
+
+
+SQL_BOOLEAN_OR_NOT_DOCS = f"""
+    WITH tf AS ({_TF_SQL})
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term IN ('join', 'spark')
+      AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
+"""
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed cosine top-10 vs vec_id=0 (rows-only: the k-means
     quantizer is engine-internal; exactness-at-full-nprobe is pytest-proven)."""
@@ -2593,6 +2618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prf_bm25_topk": q_prf_bm25_topk,
     "facet_counts": q_facet_counts,
     "bm25_topk_faceted": q_bm25_topk_faceted,
+    "boolean_or_not_docs": q_boolean_or_not_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2666,6 +2692,7 @@ ORACLE_SQL: dict[str, str] = {
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
+    "boolean_or_not_docs": SQL_BOOLEAN_OR_NOT_DOCS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
