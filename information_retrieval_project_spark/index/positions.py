@@ -266,6 +266,23 @@ def decode_position_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+def min_dist_sorted(a: np.ndarray, b: np.ndarray) -> int:
+    """min |x − y| over x∈a, y∈b for two SORTED int arrays in
+    O((|a|+|b|)·log|b|), fully vectorized: for every x only its two
+    searchsorted neighbors in b can be nearest. The kernel behind
+    proximity_match_indexed (property-tested against the brute-force
+    all-pairs minimum)."""
+    i = np.searchsorted(b, a)
+    best = np.iinfo(np.int64).max
+    left = i > 0
+    if left.any():
+        best = min(best, int((a[left] - b[i[left] - 1]).min()))
+    right = i < b.size
+    if right.any():
+        best = min(best, int((b[i[right]] - a[right]).min()))
+    return best
+
+
 def proximity_match_indexed(
     spark: SparkSession,
     pos_idx: DataFrame,
@@ -333,16 +350,8 @@ def proximity_match_indexed(
             ):
                 a = np.cumsum(varbyte_decode(bytes(ba)), dtype=np.int64)
                 b = np.cumsum(varbyte_decode(bytes(bb)), dtype=np.int64)
-                i = np.searchsorted(b, a)
-                best = np.iinfo(np.int64).max
-                left = i > 0
-                if left.any():
-                    best = min(best, int((a[left] - b[i[left] - 1]).min()))
-                right = i < b.size
-                if right.any():
-                    best = min(best, int((b[i[right]] - a[right]).min()))
                 docs.append(int(doc))
-                dists.append(best)
+                dists.append(min_dist_sorted(a, b))
             if docs:
                 yield pd.DataFrame({"doc_id": docs, "min_dist": dists})
 

@@ -516,3 +516,28 @@ def test_phrase_topk_served_from_stored_segmented_indexes(spark, tmp_path):
     for a, b in zip(served, want):
         assert a["rank"] == b["rank"]
         assert a["score"] == _pytest.approx(b["score"], abs=1e-9)
+
+
+def test_min_dist_sorted_property():
+    """Hypothesis: the sorted-merge min-distance kernel equals the
+    brute-force all-pairs minimum on arbitrary sorted int lists."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from information_retrieval_project_spark.index.positions import (
+        min_dist_sorted,
+    )
+
+    lists = st.lists(st.integers(0, 10_000), min_size=1, max_size=60)
+
+    @settings(max_examples=300, deadline=None)
+    @given(lists, lists)
+    def check(xs, ys):
+        a = np.array(sorted(set(xs)), dtype=np.int64)
+        b = np.array(sorted(set(ys)), dtype=np.int64)
+        got = min_dist_sorted(a, b)
+        want = min(abs(int(x) - int(y)) for x in a for y in b)
+        assert got == want
+
+    check()
