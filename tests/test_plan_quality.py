@@ -139,3 +139,14 @@ def test_build_positions_is_shuffle_free(spark, sf_dir):
         "doc_id", F.col("text").alias("content")
     )
     assert "Exchange" not in plan(build_positions(docs))
+
+
+def test_facet_counts_plan_shape(spark, sf_dir):
+    """Facet counts must broadcast both small sides (query terms, match
+    set) and explode facet dimensions through ONE generator — never a
+    cartesian join or one aggregation job per facet."""
+    p = plan(EQ.q_facet_counts(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Generate" in p  # the stack() of all facet dims, one pass
