@@ -1189,6 +1189,92 @@ SQL_BOOLEAN_AND_DOCS = f"""
 """
 
 
+MLT_DOC = 38       # seed document
+MLT_N_TERMS = 3    # representative terms taken from the seed
+
+
+def q_more_like_this(spark, sf_dir):
+    """Similar-document retrieval (Lucene MoreLikeThis): the seed doc's
+    MLT_N_TERMS highest-tf terms (tie-break term ASC) become the query;
+    BM25-rank all OTHER docs. Deterministic end to end — term selection is
+    integer tf, ranking runs on 5-decimal-rounded scores on both sides.
+    One plan: the seed's term row-set is tiny (one doc), broadcast into
+    the scorer like any query-term list."""
+    tf = _tf(spark, sf_dir).persist()
+    seed_terms = (
+        tf.filter(F.col("doc_id") == MLT_DOC)
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(MLT_N_TERMS)
+        .select("term")
+    )
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    cand = tf.join(F.broadcast(seed_terms), "term")
+    dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        cand.join(F.broadcast(dfq), "term")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf") * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
+        )
+        .filter(F.col("doc_id") != MLT_DOC)  # never return the seed itself
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 5).alias("score"))
+    )
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    out = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+SQL_MORE_LIKE_THIS = f"""
+    WITH tf AS ({_TF_SQL}),
+    seed_terms AS (
+        SELECT term FROM tf WHERE doc_id = {MLT_DOC}
+        ORDER BY tf DESC, term ASC LIMIT {MLT_N_TERMS}
+    ),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM ds),
+    cand AS (SELECT tf.* FROM tf JOIN seed_terms USING (term)),
+    dfq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+    scored AS (
+        SELECT cand.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (cand.tf * ({K1} + 1.0))
+                   / (cand.tf + {K1} * (1.0 - {B} + {B} * ds.doc_len / stats.avgdl))
+               ), 5) AS score
+        FROM cand
+        JOIN dfq USING (term)
+        JOIN ds ON cand.doc_id = ds.doc_id
+        CROSS JOIN stats
+        WHERE cand.doc_id != {MLT_DOC}
+        GROUP BY cand.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_boolean_or_not_docs(spark, sf_dir):
     """The full boolean retrieval shape '(a OR b) AND NOT c' — completes
     the posting-algebra surface next to the conjunctive gate: OR = distinct
@@ -2619,6 +2705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_counts": q_facet_counts,
     "bm25_topk_faceted": q_bm25_topk_faceted,
     "boolean_or_not_docs": q_boolean_or_not_docs,
+    "more_like_this": q_more_like_this,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2693,6 +2780,7 @@ ORACLE_SQL: dict[str, str] = {
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
     "boolean_or_not_docs": SQL_BOOLEAN_OR_NOT_DOCS,
+    "more_like_this": SQL_MORE_LIKE_THIS,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
