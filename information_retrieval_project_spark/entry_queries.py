@@ -164,6 +164,56 @@ def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
     )
 
 
+def _rank_limit(scored, k: int):
+    """The deterministic rank idiom shared by every top-k gate: ORDER BY
+    score DESC, doc_id ASC LIMIT k (TakeOrderedAndProject — per-partition
+    heaps) then row_number over the k survivors. Constant nullable int
+    partition key (doc_id*0 — never NaN, unlike score*0; ADVICE r3) keeps
+    the single-partition window intentional and warning-free."""
+    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _bm25_scores_weighted(tf, wterms, exclude_doc=None):
+    """Per-doc BM25 over a (term, w) weight relation, contributions scaled
+    by w, score rounded to 5 decimals — the shared scorer behind the
+    PRF and MoreLikeThis gates (weights 1.0 reproduce plain BM25). df is
+    the term's full-collection df; exclude_doc drops one doc_id BEFORE the
+    aggregate (MoreLikeThis never returns its seed)."""
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    stats = ds.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    cand = tf.join(F.broadcast(wterms), "term")
+    dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        cand.join(F.broadcast(dfq), "term")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "contrib",
+            F.col("w") * F.col("idf") * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
+        )
+    )
+    if exclude_doc is not None:
+        scored = scored.filter(F.col("doc_id") != exclude_doc)
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 5).alias("score")
+    )
+
+
 def q_bm25_scores(spark, sf_dir):
     s = _bm25_scores(spark, sf_dir, BM25_QUERY)
     return s.select("doc_id", F.round("score", 5).alias("score"))
@@ -1205,39 +1255,10 @@ def q_more_like_this(spark, sf_dir):
         tf.filter(F.col("doc_id") == MLT_DOC)
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(MLT_N_TERMS)
-        .select("term")
+        .select("term", F.lit(1.0).alias("w"))
     )
-    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stats = ds.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-    cand = tf.join(F.broadcast(seed_terms), "term")
-    dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        cand.join(F.broadcast(dfq), "term")
-        .join(ds, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf") * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
-        )
-        .filter(F.col("doc_id") != MLT_DOC)  # never return the seed itself
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), 5).alias("score"))
-    )
-    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    out = (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
+    out = _rank_limit(
+        _bm25_scores_weighted(tf, seed_terms, exclude_doc=MLT_DOC), 10
     )
     out = out.localCheckpoint(eager=True)
     tf.unpersist()
@@ -2285,16 +2306,7 @@ def q_bm25_phrase_topk(spark, sf_dir):
         scores.join(phrase_docs, "doc_id", "left_semi")
         .select("doc_id", F.round("score", 5).alias("score"))
     )
-    # doc_id*0, not score*0: NaN*0 = NaN would split a non-finite score
-    # into its own window partition and duplicate ranks (ADVICE r3)
-    one = F.col("doc_id") * 0
-    w = Window.partitionBy(one).orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        filtered.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(5)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
-    )
+    return _rank_limit(filtered, 5)
 
 
 SQL_BM25_PHRASE_TOPK = f"""
@@ -2333,14 +2345,17 @@ def q_bm25_phrase_topk_served(spark, sf_dir):
     from .index.positions import tokenize_tf_positions
     from .queryexec.wand import bm25_phrase_topk_compressed
 
-    # ONE fused tokenize pass feeds both index structures (build_index
-    # positions=True shape, inlined here to keep the gate self-contained)
-    fused = tokenize_tf_positions(_docs_as_corpus(spark, sf_dir))
+    # ONE fused tokenize pass feeds both index structures — PERSISTED, or
+    # every consumer (stats collect, hot-detection subtree, idx branch,
+    # positions branch) re-tokenizes the corpus, the exact double-scan the
+    # fused pass exists to avoid. Released before returning: the k-row
+    # result is checkpointed so no persisted relation outlives the gate.
+    fused = tokenize_tf_positions(_docs_as_corpus(spark, sf_dir)).persist()
     tf = fused.select("doc_id", "term", "tf")
     pos_idx = fused.select(
         "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
     )
-    ds = doc_stats(tf).cache()
+    ds = doc_stats(tf)
     cs = collection_stats(ds).collect()[0]
     idx = build_postings(
         tf,
@@ -2357,8 +2372,10 @@ def q_bm25_phrase_topk_served(spark, sf_dir):
         BM25_QUERY,
         k=5,
         round_scores=5,  # rank on rounded values, same as the oracle
-    )
-    return out.select("rank", "doc_id", "score")
+    ).select("rank", "doc_id", "score")
+    out = out.localCheckpoint(eager=True)
+    fused.unpersist()
+    return out
 
 
 PROX_BOOST_WINDOW = 8
@@ -2387,15 +2404,7 @@ def q_bm25_proximity_topk(spark, sf_dir):
     boosted = scores.join(prox, "doc_id", "left").select(
         "doc_id", F.round(F.col("score") * boost, 5).alias("score")
     )
-    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
-    )
+    return _rank_limit(boosted, 10)
 
 
 SQL_BM25_PROXIMITY_TOPK = f"""
@@ -2442,34 +2451,9 @@ def q_prf_bm25_topk(spark, sf_dir):
     scores so near-ties cannot flip membership between engine and oracle."""
     orig = sorted(set(BM25_QUERY))
     tf = _tf(spark, sf_dir).persist()
-    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    stats = ds.agg(
-        F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl")
-    )
-
-    def scored(wterms):
-        cand = tf.join(F.broadcast(wterms), "term")
-        dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
-        return (
-            cand.join(F.broadcast(dfq), "term")
-            .join(ds, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .withColumn(
-                "idf",
-                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-            )
-            .withColumn(
-                "contrib",
-                F.col("w") * F.col("idf") * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.col("avgdl"))),
-            )
-            .groupBy("doc_id")
-            .agg(F.round(F.sum("contrib"), 5).alias("score"))
-        )
-
     w1 = spark.createDataFrame([(t, 1.0) for t in orig], "term string, w double")
     fb_docs = (
-        scored(w1)
+        _bm25_scores_weighted(tf, w1)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(PRF_N_DOCS)
         .select("doc_id")
@@ -2484,16 +2468,7 @@ def q_prf_bm25_topk(spark, sf_dir):
         .select("term", F.lit(float(PRF_BETA)).alias("w"))
     )
     w2 = w1.unionByName(exp_terms)
-    out = scored(w2)
-    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    out = (
-        out.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
-    )
+    out = _rank_limit(_bm25_scores_weighted(tf, w2), 10)
     out = out.localCheckpoint(eager=True)
     tf.unpersist()
     return out
@@ -2607,15 +2582,7 @@ def q_bm25_topk_faceted(spark, sf_dir):
     filtered = scores.join(facet_docs, "doc_id", "left_semi").select(
         "doc_id", F.round("score", 5).alias("score")
     )
-    w = Window.partitionBy(F.col("doc_id") * 0).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        filtered.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(5)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "score")
-    )
+    return _rank_limit(filtered, 5)
 
 
 SQL_BM25_TOPK_FACETED = f"""

@@ -188,6 +188,12 @@ def write_positions(
     for v in versions:
         if v not in keep:
             shutil.rmtree(os.path.join(out_dir, v), ignore_errors=True)
+    # a store migrated from the legacy single-bundle layout: once a pointer
+    # commit exists the old bundle is unreachable (read_positions prefers
+    # the pointer) — delete it or a full stale copy lingers forever
+    shutil.rmtree(
+        os.path.join(out_dir, "positions_bundle"), ignore_errors=True
+    )
 
 
 def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:

@@ -187,6 +187,71 @@ def decode_candidates(index_rows: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    candidate_docs: DataFrame | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Query the compressed index: prune to query terms (term + term_bucket
+    predicate pushdown), decode, score natively, top-k.
+
+    `term_buckets` MUST match the modulus the index was written with
+    (write_index param, recorded in its index_meta sidecar — see
+    read_index_meta); a mismatched modulus computes wrong bucket values and
+    silently prunes away valid postings (ADVICE r1).
+
+    candidate_docs: optional (doc_id) relation restricting SCORING (not
+    statistics — df/idf stay global, read from the stored index rows) via
+    a left-semi on the decoded candidates, so the per-doc aggregate only
+    sees allowed docs. This is the filter hook for phrase/facet/any
+    filtered ranking. round_scores: round to this many decimals BEFORE
+    ranking (rank ties on the rounded value — pass whatever the comparison
+    oracle rounds to)."""
+    from ..index.bucketing import prune_terms
+
+    rows = prune_terms(index_df, query_tokens, term_buckets)
+    # distinct: a segmented index (BuildConfig.segment_hot_terms) carries one
+    # row per (term, segment) with the SAME term-total df on each
+    idf = rows.select("term", "df").distinct().select(
+        "term",
+        F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    cand = decode_candidates(rows)
+    if candidate_docs is not None:
+        cand = cand.join(candidate_docs, "doc_id", "left_semi")
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .join(doc_stats_df, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.select(
+            "doc_id", F.round("score", round_scores).alias("score")
+        )
+    return topk(scored, k)
+
+
 def bm25_phrase_topk_compressed(
     spark: SparkSession,
     index_df: DataFrame,
@@ -208,95 +273,26 @@ def bm25_phrase_topk_compressed(
     index (index/positions.phrase_match_indexed — decode pruned to the
     phrase terms, bucket partition pruning via pos_term_buckets) and the
     scores come from the compressed posting index (bucket-pruned via
-    term_buckets) — the corpus is never touched. This is Lucene's
-    PhraseQuery+scoring shape: both index structures are pruned to their
-    query terms, and scoring work is cut to phrase docs BEFORE the top-k
-    (left-semi on the decoded candidates, so the per-doc aggregate only
-    sees phrase docs).
-
-    round_scores: round to this many decimals BEFORE ranking (rank ties on
-    the rounded value — pass the same value the comparison oracle rounds
-    to, see entry_queries.SQL_BM25_PHRASE_TOPK)."""
-    from ..index.bucketing import prune_terms
+    term_buckets) — the corpus is never touched. Lucene's
+    PhraseQuery+scoring shape, expressed as bm25_topk_compressed with the
+    phrase hits as candidate_docs (one scorer, one copy of the frozen BM25
+    and segmented-df rules)."""
     from ..index.positions import phrase_match_indexed
 
     phrase_docs = phrase_match_indexed(
         spark, pos_idx, phrase, pos_term_buckets
     ).select("doc_id")
-    rows = prune_terms(index_df, query_tokens, term_buckets)
-    idf = rows.select("term", "df").distinct().select(
-        "term",
-        F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
+    return bm25_topk_compressed(
+        spark,
+        index_df,
+        doc_stats_df,
+        n_docs,
+        avgdl,
+        query_tokens,
+        k=k,
+        k1=k1,
+        b=b,
+        term_buckets=term_buckets,
+        candidate_docs=phrase_docs,
+        round_scores=round_scores,
     )
-    # df/idf are GLOBAL (read from the stored index rows, above) — the
-    # phrase filter prunes candidates, never the statistics
-    cand = decode_candidates(rows).join(phrase_docs, "doc_id", "left_semi")
-    scored = (
-        cand.join(F.broadcast(idf), "term")
-        .join(doc_stats_df, "doc_id")
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-    )
-    if round_scores is not None:
-        scored = scored.select("doc_id", F.round("score", round_scores).alias("score"))
-    return topk(scored, k)
-
-
-def bm25_topk_compressed(
-    spark: SparkSession,
-    index_df: DataFrame,
-    doc_stats_df: DataFrame,
-    n_docs: int,
-    avgdl: float,
-    query_tokens: list[str],
-    k: int = 10,
-    k1: float = K1,
-    b: float = B,
-    term_buckets: int = 32,
-) -> DataFrame:
-    """Query the compressed index: prune to query terms (term + term_bucket
-    predicate pushdown), decode, score natively, top-k.
-
-    `term_buckets` MUST match the modulus the index was written with
-    (write_index param, recorded in its index_meta sidecar — see
-    read_index_meta); a mismatched modulus computes wrong bucket values and
-    silently prunes away valid postings (ADVICE r1)."""
-    from ..index.bucketing import prune_terms
-
-    rows = prune_terms(index_df, query_tokens, term_buckets)
-    # distinct: a segmented index (BuildConfig.segment_hot_terms) carries one
-    # row per (term, segment) with the SAME term-total df on each
-    idf = rows.select("term", "df").distinct().select(
-        "term",
-        F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
-    cand = decode_candidates(rows)
-    scored = (
-        cand.join(F.broadcast(idf), "term")
-        .join(doc_stats_df, "doc_id")
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-    )
-    return topk(scored, k)
