@@ -541,3 +541,38 @@ def test_min_dist_sorted_property():
         assert got == want
 
     check()
+
+
+def test_write_positions_gcs_legacy_bundle(spark, tmp_path):
+    """A store migrated from the pre-pointer single-bundle layout: the
+    first pointer-style write must leave the legacy bundle unreachable AND
+    deleted (it lingered as a full stale copy of the index otherwise),
+    while reads resolve through POSITIONS_CURRENT."""
+    import os
+
+    from information_retrieval_project_spark.index.positions import (
+        read_positions,
+        write_positions,
+    )
+
+    out = str(tmp_path / "legacy")
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, content string"
+    )
+    idx = build_positions(docs)
+    # fabricate the legacy layout: bundle dir with data/ + meta/
+    legacy = os.path.join(out, "positions_bundle")
+    os.makedirs(os.path.join(legacy, "data"))
+    idx.withColumn("term_bucket", F.lit(0)).write.parquet(
+        os.path.join(legacy, "data"), mode="overwrite"
+    )
+    spark.createDataFrame([(4,)], "term_buckets int").coalesce(1).write.json(
+        os.path.join(legacy, "meta"), mode="overwrite"
+    )
+    stored, tb = read_positions(spark, out)  # legacy fallback path works
+    assert tb == 4
+
+    write_positions(idx, out, term_buckets=8)
+    stored2, tb2 = read_positions(spark, out)
+    assert tb2 == 8
+    assert not os.path.exists(legacy)  # stale copy GC'd after the commit
