@@ -1239,6 +1239,60 @@ SQL_BOOLEAN_AND_DOCS = f"""
 """
 
 
+PAGE_SIZE = 5
+
+
+def q_bm25_search_after(spark, sf_dir):
+    """Keyset pagination (Elasticsearch search_after / Lucene searchAfter):
+    page 2 of the BM25 ranking fetched WITHOUT an offset — the client
+    resends page 1's last (score, doc_id) cursor and the engine filters
+    strictly-after in the (score DESC, doc_id ASC) sort order, then takes
+    the next PAGE_SIZE. At scale this is the only paging that works: OFFSET
+    n re-ranks and discards n rows per page, the keyset predicate prunes
+    before the top-k heap. Emits global ranks (PAGE_SIZE+1 .. 2*PAGE_SIZE);
+    correctness = identity with the oracle's row_number window."""
+    scores = _bm25_scores(spark, sf_dir, BM25_QUERY).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+    cursor = (
+        _rank_limit(scores, PAGE_SIZE)
+        .filter(F.col("rank") == PAGE_SIZE)
+        .select(
+            F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc")
+        )
+    )
+    after = scores.crossJoin(F.broadcast(cursor)).filter(
+        (F.col("score") < F.col("c_score"))
+        | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
+    ).select("doc_id", "score")
+    return _rank_limit(after, PAGE_SIZE).select(
+        (F.col("rank") + PAGE_SIZE).alias("rank"), "doc_id", "score"
+    )
+
+
+SQL_BM25_SEARCH_AFTER = f"""
+    WITH scored_all AS ({_bm25_sql(BM25_QUERY, with_topk=False)}),
+    cursor AS (
+        SELECT doc_id AS c_doc, score AS c_score
+        FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored_all
+        ) WHERE rn = {PAGE_SIZE}
+    ),
+    page2 AS (
+        SELECT s.doc_id, s.score
+        FROM scored_all s CROSS JOIN cursor
+        WHERE s.score < c_score OR (s.score = c_score AND s.doc_id > c_doc)
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) + {PAGE_SIZE}
+               AS rank,
+           doc_id, score
+    FROM page2
+    ORDER BY score DESC, doc_id ASC LIMIT {PAGE_SIZE}
+"""
+
+
 MLT_DOC = 38       # seed document
 MLT_N_TERMS = 3    # representative terms taken from the seed
 
@@ -2673,6 +2727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_faceted": q_bm25_topk_faceted,
     "boolean_or_not_docs": q_boolean_or_not_docs,
     "more_like_this": q_more_like_this,
+    "bm25_search_after": q_bm25_search_after,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2748,6 +2803,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
     "boolean_or_not_docs": SQL_BOOLEAN_OR_NOT_DOCS,
     "more_like_this": SQL_MORE_LIKE_THIS,
+    "bm25_search_after": SQL_BM25_SEARCH_AFTER,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
