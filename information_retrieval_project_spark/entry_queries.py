@@ -2653,7 +2653,41 @@ SQL_BM25_TOPK_FACETED = f"""
 """
 
 
+# Registration ORDER is part of the driver contract: the correctness gate
+# hashes the FIRST 50 entries in registration order. Rounds 1-4 registered
+# the original 50 first, so everything added in rounds 3-4 (phrase,
+# proximity, facets, PRF, MLT, search_after, dup_clusters, batch BM25, ...)
+# only ever had replica evidence (VERDICT r4 #1). Round 5 ROTATES: the 24
+# never-driver-hashed queries lead, new round-5 queries follow, and the
+# twice-driver-hashed originals fill the tail. All entries are green at
+# three SFs via tools/check_contract.py regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never driver-hashed before round 5 (rounds 3-4 additions) ---
+    "event_sessions": q_event_sessions,
+    "event_windows": q_event_windows,
+    "simhash16": q_simhash16,
+    "shipping_priority": q_shipping_priority,
+    "nation_volume": q_nation_volume,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "kmv_sketch": q_kmv_sketch,
+    "top_cooccurring": q_top_cooccurring,
+    "salted_join_volume": q_salted_join_volume,
+    "bm25_topk_batch": q_bm25_topk_batch,
+    "phrase_match_docs": q_phrase_match_docs,
+    "phrase_match_indexed": q_phrase_match_indexed,
+    "dup_clusters": q_dup_clusters,
+    "snippets": q_snippets,
+    "proximity_match": q_proximity_match,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
+    "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
+    "bm25_proximity_topk": q_bm25_proximity_topk,
+    "prf_bm25_topk": q_prf_bm25_topk,
+    "facet_counts": q_facet_counts,
+    "bm25_topk_faceted": q_bm25_topk_faceted,
+    "boolean_or_not_docs": q_boolean_or_not_docs,
+    "more_like_this": q_more_like_this,
+    "bm25_search_after": q_bm25_search_after,
+    # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
     "doc_stats": q_doc_stats,
@@ -2704,30 +2738,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity": q_perplexity,
     "tf_pairs_ws": q_tf_pairs_ws,
     "query_term_overlap": q_query_term_overlap,
-    "event_sessions": q_event_sessions,
-    "event_windows": q_event_windows,
-    "simhash16": q_simhash16,
-    "shipping_priority": q_shipping_priority,
-    "nation_volume": q_nation_volume,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "kmv_sketch": q_kmv_sketch,
-    "top_cooccurring": q_top_cooccurring,
-    "salted_join_volume": q_salted_join_volume,
-    "bm25_topk_batch": q_bm25_topk_batch,
-    "phrase_match_docs": q_phrase_match_docs,
-    "phrase_match_indexed": q_phrase_match_indexed,
-    "dup_clusters": q_dup_clusters,
-    "snippets": q_snippets,
-    "proximity_match": q_proximity_match,
-    "bm25_phrase_topk": q_bm25_phrase_topk,
-    "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
-    "bm25_proximity_topk": q_bm25_proximity_topk,
-    "prf_bm25_topk": q_prf_bm25_topk,
-    "facet_counts": q_facet_counts,
-    "bm25_topk_faceted": q_bm25_topk_faceted,
-    "boolean_or_not_docs": q_boolean_or_not_docs,
-    "more_like_this": q_more_like_this,
-    "bm25_search_after": q_bm25_search_after,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -115,6 +115,7 @@ def build_positions(corpus_with_id: DataFrame) -> DataFrame:
 
 _POS_CURRENT = "POSITIONS_CURRENT"
 _POS_PREFIX = "positions_v"
+_STAGING_GC_AGE_S = 15 * 60  # staging dirs younger than this may be live
 
 
 def write_positions(
@@ -137,9 +138,19 @@ def write_positions(
     At cluster scale the pointer flip is an Iceberg/metastore snapshot
     commit. No crash window can leave a modulus that mismatches the data
     (the silent-pruning bug class ADVICE r1 flagged): data and sidecar
-    commit together."""
+    commit together.
+
+    Writer concurrency contract (ADVICE r4): SINGLE WRITER per store —
+    two concurrent writers can compute the same next version number and
+    collide on the publish rename (the loser's os.rename raises; no
+    committed state is ever corrupted, but the losing write is lost). At
+    cluster scale the metastore/Iceberg commit supplies the compare-and-swap
+    this local layout doesn't. Staging-dir GC is age-gated (only dirs older
+    than _STAGING_GC_AGE_S are reclaimed) so a slow LIVE writer's staging
+    area is never reaped by a newly started one."""
     import os
     import shutil
+    import time
 
     from .bucketing import term_bucket_expr
 
@@ -152,10 +163,19 @@ def write_positions(
         (int(v[len(_POS_PREFIX):]) for v in versions), default=0
     )
     vname = f"{_POS_PREFIX}{nxt:06d}"
-    # GC stale staging dirs from crashed writers before staging our own
+    # GC stale staging dirs from CRASHED writers before staging our own —
+    # age-gated: a dir younger than the threshold may belong to a live
+    # concurrent writer mid-stage (ADVICE r4), so it is left alone
+    now = time.time()
     for d in os.listdir(out_dir):
         if d.startswith("_positions_staging"):
-            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            p = os.path.join(out_dir, d)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age > _STAGING_GC_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
     tmp = os.path.join(out_dir, f"_positions_staging_{vname}")
     (
         pos_idx.withColumn("term_bucket", term_bucket_expr(term_buckets))
@@ -189,11 +209,16 @@ def write_positions(
         if v not in keep:
             shutil.rmtree(os.path.join(out_dir, v), ignore_errors=True)
     # a store migrated from the legacy single-bundle layout: once a pointer
-    # commit exists the old bundle is unreachable (read_positions prefers
-    # the pointer) — delete it or a full stale copy lingers forever
-    shutil.rmtree(
-        os.path.join(out_dir, "positions_bundle"), ignore_errors=True
-    )
+    # commit exists the bundle is unreachable for NEW readers (read_positions
+    # prefers the pointer), but a reader that resolved the bundle just before
+    # this first pointer commit may still be mid-scan on its files — so the
+    # bundle gets the same one-write retention as versioned snapshots
+    # (ADVICE r4): kept through the migration write, deleted on the next
+    # pointer-style write (prev is set exactly then).
+    if prev is not None:
+        shutil.rmtree(
+            os.path.join(out_dir, "positions_bundle"), ignore_errors=True
+        )
 
 
 def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
@@ -309,43 +334,59 @@ def proximity_match_indexed(
     single Arrow batch; no position pair is ever materialized.
 
     Shuffle profile: prune to the two terms (bucket partition pruning) →
-    one groupBy(doc_id) over ≤2 compact ENCODED rows per doc → mapInPandas
-    merge. term_a == term_b means two DISTINCT occurrences of the term
-    within the window (min gap of consecutive positions; shuffle-free —
-    each (term, doc) row is already complete). term_buckets: stored index's
-    bucket modulus (read_positions) for partition pruning."""
+    one groupBy(doc_id) over a handful of compact ENCODED rows per doc →
+    mapInPandas merge. term_a == term_b means two DISTINCT occurrences of
+    the term within the window (min gap of consecutive positions).
+
+    Multi-row inputs are first-class (ADVICE r4: the previous F.first()
+    silently dropped occurrences if a (term, doc) ever carried >1 row): ALL
+    encoded rows of each term are collected per doc, decoded, concatenated
+    and re-sorted before the merge — so a merged/appended positions store
+    (index/positions.append_positions emits one row per (term, doc) per
+    batch only for NEW docs, but cross-build merges may not) still gets the
+    exact min distance. For a 1-row-per-(term,doc) store the collect_list
+    holds exactly one element and the sort is a no-op."""
     rows = prune_terms(pos_idx, [term_a, term_b], term_buckets)
 
+    def _decode_many(bufs) -> np.ndarray:
+        parts = [
+            np.cumsum(varbyte_decode(bytes(b)), dtype=np.int64) for b in bufs
+        ]
+        p = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+        return p
+
     if term_a == term_b:
+        grouped_same = (
+            rows.filter(F.col("term") == term_a)
+            .groupBy("doc_id")
+            .agg(F.collect_list("positions").alias("pos_bufs"))
+        )
+
         def gen_same(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 docs, dists = [], []
-                for doc, buf in zip(pdf["doc_id"].values, pdf["positions"].values):
-                    p = np.cumsum(varbyte_decode(bytes(buf)), dtype=np.int64)
+                for doc, bufs in zip(pdf["doc_id"].values, pdf["pos_bufs"].values):
+                    p = _decode_many(bufs)
                     if p.size > 1:
                         docs.append(int(doc))
                         dists.append(int(np.diff(p).min()))
                 if docs:
                     yield pd.DataFrame({"doc_id": docs, "min_dist": dists})
 
-        out = rows.filter(F.col("term") == term_a).mapInPandas(
-            gen_same, "doc_id long, min_dist long"
-        )
+        out = grouped_same.mapInPandas(gen_same, "doc_id long, min_dist long")
         return out.filter(F.col("min_dist") <= window)
 
     grouped = (
         rows.groupBy("doc_id")
         .agg(
-            F.first(
-                F.when(F.col("term") == term_a, F.col("positions")),
-                ignorenulls=True,
+            F.collect_list(
+                F.when(F.col("term") == term_a, F.col("positions"))
             ).alias("pos_a"),
-            F.first(
-                F.when(F.col("term") == term_b, F.col("positions")),
-                ignorenulls=True,
+            F.collect_list(
+                F.when(F.col("term") == term_b, F.col("positions"))
             ).alias("pos_b"),
         )
-        .filter(F.col("pos_a").isNotNull() & F.col("pos_b").isNotNull())
+        .filter((F.size("pos_a") > 0) & (F.size("pos_b") > 0))
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -354,8 +395,8 @@ def proximity_match_indexed(
             for doc, ba, bb in zip(
                 pdf["doc_id"].values, pdf["pos_a"].values, pdf["pos_b"].values
             ):
-                a = np.cumsum(varbyte_decode(bytes(ba)), dtype=np.int64)
-                b = np.cumsum(varbyte_decode(bytes(bb)), dtype=np.int64)
+                a = _decode_many(ba)
+                b = _decode_many(bb)
                 docs.append(int(doc))
                 dists.append(min_dist_sorted(a, b))
             if docs:

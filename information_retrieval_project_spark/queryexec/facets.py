@@ -40,10 +40,24 @@ def facet_counts(
     count under value NULL (engines bucket missing as its own entry)."""
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
+    missing = [c for c in facet_cols if c not in docs_meta.columns]
+    if missing:
+        raise ValueError(f"facet columns not in docs_meta: {missing}")
     joined = docs_meta.join(match, "doc_id", "left_semi")
+    # identifiers are backtick-quoted (ADVICE r4: a name with spaces or
+    # reserved characters would break the hand-built stack() parse); the
+    # label string escapes single quotes so it always round-trips
+    def _ident(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    def _label(c: str) -> str:
+        return "'" + c.replace("'", "\\'") + "'"
+
     stack_expr = "stack({n}, {args}) as (facet, value)".format(
         n=len(facet_cols),
-        args=", ".join(f"'{c}', cast({c} as string)" for c in facet_cols),
+        args=", ".join(
+            f"{_label(c)}, cast({_ident(c)} as string)" for c in facet_cols
+        ),
     )
     return (
         joined.selectExpr(stack_expr)

@@ -403,3 +403,33 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in connected_components(nodes, chain, max_iter=10).collect()
     }
     assert got == {0}
+
+
+def test_facet_counts_quoted_identifiers_and_validation(spark):
+    """Facet columns with spaces/reserved characters must work (backtick
+    quoting in the stack() expression, ADVICE r4), and an unknown facet
+    column must fail loudly before any job runs."""
+    import pytest
+
+    from information_retrieval_project_spark.queryexec.facets import (
+        facet_counts,
+    )
+
+    meta = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "a")],
+        ["doc_id", "lang name", "select"],  # hostile identifiers
+    )
+    match = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got = {
+        (r["facet"], r["value"]): r["n_docs"]
+        for r in facet_counts(match, meta, ["lang name", "select"]).collect()
+    }
+    assert got == {
+        ("lang name", "en"): 2,
+        ("lang name", "de"): 1,
+        ("select", "a"): 2,
+        ("select", "b"): 1,
+    }
+
+    with pytest.raises(ValueError, match="not in docs_meta"):
+        facet_counts(match, meta, ["nope"])

@@ -212,6 +212,49 @@ def test_proximity_hot_term_is_linear_not_quadratic(spark):
     assert got_same == {1: 2}
 
 
+def test_proximity_multi_row_store_merges_all_rows(spark):
+    """A positions store carrying >1 row per (term, doc) — e.g. a merged or
+    appended relation — must merge ALL rows before the distance kernel
+    (ADVICE r4: F.first() silently used one arbitrary row). Constructed so
+    the one-row answer is WRONG: term x's closest occurrence to y lives in
+    the second row of (x, doc 1)."""
+    import numpy as np
+
+    from information_retrieval_project_spark.index.codec import varbyte_encode
+    from information_retrieval_project_spark.index.positions import (
+        proximity_match_indexed,
+    )
+
+    def enc(positions):
+        p = np.asarray(positions, dtype=np.uint64)
+        d = np.empty_like(p)
+        d[0] = p[0]
+        np.subtract(p[1:], p[:-1], out=d[1:])
+        return bytearray(varbyte_encode(d))
+
+    rows = [
+        ("x", 1, 1, enc([100])),  # registered FIRST: the row F.first() took
+        ("x", 1, 1, enc([5])),
+        ("y", 1, 1, enc([6])),
+        ("z", 2, 1, enc([0])),    # same-term split across rows
+        ("z", 2, 1, enc([2])),
+    ]
+    pos_idx = spark.createDataFrame(
+        rows, "term string, doc_id long, n_occ long, positions binary"
+    )
+    got = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, pos_idx, "x", "y", 3).collect()
+    }
+    assert got == {1: 1}  # x@5 vs y@6 — only visible after the row merge
+
+    got_same = {
+        r["doc_id"]: r["min_dist"]
+        for r in proximity_match_indexed(spark, pos_idx, "z", "z", 5).collect()
+    }
+    assert got_same == {2: 2}  # occurrences live in different rows
+
+
 def test_proximity_same_term_requires_two_occurrences(spark):
     from information_retrieval_project_spark.index.positions import (
         proximity_match_indexed,
@@ -545,9 +588,12 @@ def test_min_dist_sorted_property():
 
 def test_write_positions_gcs_legacy_bundle(spark, tmp_path):
     """A store migrated from the pre-pointer single-bundle layout: the
-    first pointer-style write must leave the legacy bundle unreachable AND
-    deleted (it lingered as a full stale copy of the index otherwise),
-    while reads resolve through POSITIONS_CURRENT."""
+    first pointer-style write makes the bundle unreachable for new reads
+    (POSITIONS_CURRENT wins) but RETAINS its files one write — a reader
+    that resolved the bundle just before the migration commit keeps its
+    files, same one-write retention as versioned snapshots (ADVICE r4).
+    The SECOND pointer-style write GC's it (else a full stale copy of the
+    index lingers forever)."""
     import os
 
     from information_retrieval_project_spark.index.positions import (
@@ -574,5 +620,10 @@ def test_write_positions_gcs_legacy_bundle(spark, tmp_path):
 
     write_positions(idx, out, term_buckets=8)
     stored2, tb2 = read_positions(spark, out)
-    assert tb2 == 8
-    assert not os.path.exists(legacy)  # stale copy GC'd after the commit
+    assert tb2 == 8  # new reads resolve through the pointer...
+    assert os.path.exists(legacy)  # ...but in-flight legacy readers survive
+
+    write_positions(idx, out, term_buckets=8)
+    _, tb3 = read_positions(spark, out)
+    assert tb3 == 8
+    assert not os.path.exists(legacy)  # GC'd on the second pointer commit
