@@ -135,9 +135,17 @@ SQL_COLLECTION_STATS = f"""
 def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
     """Candidate-doc BM25 scores, fully native column math (SURVEY.md §3.1).
 
-    tf is persisted: four branches (doc_stats, stats, candidate join, df)
-    would otherwise each re-tokenize the corpus — the ad-hoc-query analogue
-    of the build's tf materialization (index/build.build_index)."""
+    tf is persisted WITHIN this call only: four branches (doc_stats, stats,
+    candidate join, df) would otherwise each re-tokenize the corpus — the
+    ad-hoc-query analogue of the build's tf materialization
+    (index/build.build_index). Lifecycle (VERDICT r4 #4: the old version
+    persisted tf and never released it, so every gate built on this helper
+    left a cached relation behind and queries coupled through the cache):
+    the per-candidate-doc score relation — naturally small, one row per doc
+    matching a query term — is eagerly localCheckpoint'ed, then tf is
+    unpersisted before returning, same hygiene as the PRF/MLT/batch gates.
+    Downstream composition (phrase/facet semi-joins, rank windows) reads the
+    materialized scores instead of re-deriving the whole subtree."""
     tf = _tf(spark, sf_dir).persist()
     ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     stats = ds.agg(
@@ -146,7 +154,7 @@ def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
     terms_df = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
     cand = tf.join(F.broadcast(terms_df), "term")
     dfq = cand.groupBy("term").agg(F.count("*").alias("df"))
-    return (
+    scored = (
         cand.join(F.broadcast(dfq), "term")
         .join(ds, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -162,6 +170,9 @@ def _bm25_scores(spark, sf_dir, terms: list[str]) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+    out = scored.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 def _rank_limit(scored, k: int):
@@ -281,7 +292,10 @@ SQL_BM25_TOPK = _bm25_sql(BM25_QUERY, with_topk=True)
 
 
 def q_tfidf_cosine(spark, sf_dir):
-    """sklearn-form TF-IDF cosine vs the fixed query (SURVEY.md F3/F4)."""
+    """sklearn-form TF-IDF cosine vs the fixed query (SURVEY.md F3/F4).
+
+    tf persists only within this call (VERDICT r4 #4): the per-doc cosine
+    result is checkpointed eagerly and tf released before returning."""
     terms = sorted(set(BM25_QUERY))
     tf = _tf(spark, sf_dir).persist()
     n_docs_df = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
@@ -306,7 +320,7 @@ def q_tfidf_cosine(spark, sf_dir):
         )
     )
     qn = qw.agg(F.sqrt(F.sum(F.col("qw_raw") ** 2)).alias("qn"))
-    return (
+    cos = (
         w.join(norm, "doc_id")
         .join(F.broadcast(qw.select("term", "qw_raw")), "term")
         .crossJoin(F.broadcast(qn))
@@ -318,6 +332,9 @@ def q_tfidf_cosine(spark, sf_dir):
             ).alias("score")
         )
     )
+    out = cos.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
 
 
 SQL_TFIDF_COSINE = f"""
@@ -1073,13 +1090,19 @@ def q_bm25_topk_compressed(spark, sf_dir):
     from .queryexec.wand import bm25_topk_compressed
 
     tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    # ds cached within this gate only (VERDICT r4 #4 hygiene): the k-row
+    # result is checkpointed, then the cache is released — q_bm25_topk_sharded
+    # caches the same canonical ds plan, and unreleased entries couple the
+    # two gates through the CacheManager
     ds = doc_stats(tf).cache()
     cs = collection_stats(ds).collect()[0]
     idx = build_postings(tf, BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0))
     out = bm25_topk_compressed(
         spark, idx, ds, cs["n_docs"], cs["avgdl"], BM25_QUERY, k=10
-    )
-    return out.select("rank", "doc_id", F.round("score", 5).alias("score"))
+    ).select("rank", "doc_id", F.round("score", 5).alias("score"))
+    out = out.localCheckpoint(eager=True)
+    ds.unpersist()
+    return out
 
 
 def q_bm25_topk_sharded(spark, sf_dir):
@@ -1100,8 +1123,10 @@ def q_bm25_topk_sharded(spark, sf_dir):
     sds = shard_doc_stats(ds, n_shards=8)
     out = bm25_topk_sharded(
         spark, idx, sds, cs["n_docs"], cs["avgdl"], BM25_QUERY, k=10
-    )
-    return out.select("rank", "doc_id", F.round("score", 5).alias("score"))
+    ).select("rank", "doc_id", F.round("score", 5).alias("score"))
+    out = out.localCheckpoint(eager=True)
+    ds.unpersist()
+    return out
 
 
 def q_simhash_fingerprints(spark, sf_dir):
