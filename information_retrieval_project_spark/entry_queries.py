@@ -2513,6 +2513,54 @@ SQL_BM25_PROXIMITY_TOPK = f"""
 """
 
 
+def q_bm25_proximity_topk_served(spark, sf_dir):
+    """The SAME proximity-boosted BM25 top-10 as bm25_proximity_topk, but
+    served ENTIRELY from stored index structures (VERDICT r4 #3 — the
+    corpus-side gate rebuilds the positional index inline): min_dist from
+    the positional index, scores from the compressed posting index, both
+    derived from ONE fused tokenize pass (the corpus is scanned once at
+    build time and never at query time). Oracled by the identical
+    corpus-side SQL, proving rank-identity of the index-served
+    composition — the proximity sibling of bm25_phrase_topk_served."""
+    from .index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from .index.positions import tokenize_tf_positions
+    from .queryexec.wand import bm25_proximity_topk_compressed
+
+    fused = tokenize_tf_positions(_docs_as_corpus(spark, sf_dir)).persist()
+    tf = fused.select("doc_id", "term", "tf")
+    pos_idx = fused.select(
+        "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
+    )
+    ds = doc_stats(tf)
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0),
+    )
+    out = bm25_proximity_topk_compressed(
+        spark,
+        idx,
+        ds,
+        cs["n_docs"],
+        cs["avgdl"],
+        pos_idx,
+        PROX[0],
+        PROX[1],
+        PROX_BOOST_WINDOW,
+        list(PROX),
+        k=10,
+        round_scores=5,  # rank on rounded values, same as the oracle
+    ).select("rank", "doc_id", "score")
+    out = out.localCheckpoint(eager=True)
+    fused.unpersist()
+    return out
+
+
 PRF_N_DOCS = 5     # feedback depth
 PRF_N_TERMS = 3    # expansion terms
 PRF_BETA = 0.5     # Rocchio weight of expansion terms (original terms 1.0)
@@ -2712,6 +2760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_or_not_docs": q_boolean_or_not_docs,
     "more_like_this": q_more_like_this,
     "bm25_search_after": q_bm25_search_after,
+    # --- new in round 5 ---
+    "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
     # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2833,6 +2883,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_phrase_topk": SQL_BM25_PHRASE_TOPK,
     "bm25_phrase_topk_served": SQL_BM25_PHRASE_TOPK,
     "bm25_proximity_topk": SQL_BM25_PROXIMITY_TOPK,
+    # served form answers the SAME question from stored indexes — identical
+    # corpus-side oracle proves the composition rank-identical
+    "bm25_proximity_topk_served": SQL_BM25_PROXIMITY_TOPK,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,

@@ -187,22 +187,23 @@ def decode_candidates(index_rows: DataFrame) -> DataFrame:
     )
 
 
-def bm25_topk_compressed(
+def bm25_scores_compressed(
     spark: SparkSession,
     index_df: DataFrame,
     doc_stats_df: DataFrame,
     n_docs: int,
     avgdl: float,
     query_tokens: list[str],
-    k: int = 10,
     k1: float = K1,
     b: float = B,
     term_buckets: int = 32,
     candidate_docs: DataFrame | None = None,
-    round_scores: int | None = None,
 ) -> DataFrame:
-    """Query the compressed index: prune to query terms (term + term_bucket
-    predicate pushdown), decode, score natively, top-k.
+    """Per-candidate-doc BM25 scores (doc_id, score — UNROUNDED) from the
+    compressed index: prune to query terms (term + term_bucket predicate
+    pushdown), decode, score natively. The scores-level entry point —
+    composable rankers (proximity boost, re-scoring) consume this; plain
+    top-k serving wraps it (bm25_topk_compressed).
 
     `term_buckets` MUST match the modulus the index was written with
     (write_index param, recorded in its index_meta sidecar — see
@@ -213,9 +214,7 @@ def bm25_topk_compressed(
     statistics — df/idf stay global, read from the stored index rows) via
     a left-semi on the decoded candidates, so the per-doc aggregate only
     sees allowed docs. This is the filter hook for phrase/facet/any
-    filtered ranking. round_scores: round to this many decimals BEFORE
-    ranking (rank ties on the rounded value — pass whatever the comparison
-    oracle rounds to)."""
+    filtered ranking."""
     from ..index.bucketing import prune_terms
 
     rows = prune_terms(index_df, query_tokens, term_buckets)
@@ -230,7 +229,7 @@ def bm25_topk_compressed(
     cand = decode_candidates(rows)
     if candidate_docs is not None:
         cand = cand.join(candidate_docs, "doc_id", "left_semi")
-    scored = (
+    return (
         cand.join(F.broadcast(idf), "term")
         .join(doc_stats_df, "doc_id")
         .withColumn(
@@ -244,6 +243,37 @@ def bm25_topk_compressed(
         )
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def bm25_topk_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    candidate_docs: DataFrame | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Top-k over bm25_scores_compressed. round_scores: round to this many
+    decimals BEFORE ranking (rank ties on the rounded value — pass whatever
+    the comparison oracle rounds to)."""
+    scored = bm25_scores_compressed(
+        spark,
+        index_df,
+        doc_stats_df,
+        n_docs,
+        avgdl,
+        query_tokens,
+        k1=k1,
+        b=b,
+        term_buckets=term_buckets,
+        candidate_docs=candidate_docs,
     )
     if round_scores is not None:
         scored = scored.select(
@@ -296,3 +326,61 @@ def bm25_phrase_topk_compressed(
         candidate_docs=phrase_docs,
         round_scores=round_scores,
     )
+
+
+def bm25_proximity_topk_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    pos_idx: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    pos_term_buckets: int | None = None,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Proximity-RANKED BM25 top-k served ENTIRELY from stored indexes
+    (VERDICT r4 #3 — the corpus-side gate q_bm25_proximity_topk rebuilt the
+    positional index inline): min token distance comes from the positional
+    index (index/positions.proximity_match_indexed — bounded sorted-merge
+    kernel, bucket partition pruning via pos_term_buckets) and BM25 from the
+    compressed posting index (bucket-pruned via term_buckets); the corpus is
+    never touched. score' = bm25 · (1 + 1/(1 + min_dist)) for docs whose
+    terms co-occur within `window`, plain bm25 otherwise — the same composed
+    ranker the corpus-side gate fixes, so the two are oracle-interchangeable.
+    The boost multiplies the UNROUNDED score; one final round (round_scores)
+    before ranking keeps engine and oracle ranking the same values."""
+    from ..index.positions import proximity_match_indexed
+
+    prox = proximity_match_indexed(
+        spark, pos_idx, term_a, term_b, window, pos_term_buckets
+    )
+    scored = bm25_scores_compressed(
+        spark,
+        index_df,
+        doc_stats_df,
+        n_docs,
+        avgdl,
+        query_tokens,
+        k1=k1,
+        b=b,
+        term_buckets=term_buckets,
+    )
+    boost = 1.0 + F.when(
+        F.col("min_dist").isNotNull(), 1.0 / (1.0 + F.col("min_dist"))
+    ).otherwise(0.0)
+    boosted = scored.join(prox, "doc_id", "left").select(
+        "doc_id", (F.col("score") * boost).alias("score")
+    )
+    if round_scores is not None:
+        boosted = boosted.select(
+            "doc_id", F.round("score", round_scores).alias("score")
+        )
+    return topk(boosted, k)

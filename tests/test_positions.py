@@ -561,6 +561,100 @@ def test_phrase_topk_served_from_stored_segmented_indexes(spark, tmp_path):
         assert a["score"] == _pytest.approx(b["score"], abs=1e-9)
 
 
+def test_proximity_topk_served_from_stored_segmented_indexes(spark, tmp_path):
+    """End-to-end index-served PROXIMITY ranking (VERDICT r4 #3): ONE fused
+    build → write compressed postings (bucketed at 16, segmented hot terms)
+    + positions (bucketed at 8) → read back → bm25_proximity_topk_compressed.
+    Must be rank-identical (scores ±1e-9) to the in-memory corpus-side
+    composition (bm25 scores boosted by the positional min-distance)."""
+    import pytest as _pytest
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_index,
+        read_index,
+        read_index_meta,
+        tokenize_tf,
+        write_index,
+    )
+    from information_retrieval_project_spark.index.positions import (
+        proximity_match_indexed,
+        read_positions,
+        write_positions,
+    )
+    from information_retrieval_project_spark.queryexec.bm25 import (
+        bm25_scores,
+        query_terms_df,
+        topk,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_proximity_topk_compressed,
+    )
+
+    out = str(tmp_path / "served_prox")
+    corpus = generate_corpus(spark, 300, partitions=3)
+    cfg = BuildConfig(
+        hot_df_threshold=50,
+        docs_per_salt=60,
+        hot_detection_sample=1.0,
+        segment_hot_terms=True,
+    )
+    idx, ds, cs, pos = build_index(corpus, cfg, positions=True)
+    write_index(idx, ds, cs, out, term_buckets=16)
+    write_positions(pos, out, term_buckets=8)
+
+    r_idx, r_ds, r_cs = read_index(spark, out)
+    meta = read_index_meta(spark, out)
+    r_pos, ptb = read_positions(spark, out)
+    cs_row = r_cs.collect()[0]
+
+    term_a, term_b, window = "def", "return", 6
+    served = bm25_proximity_topk_compressed(
+        spark,
+        r_idx,
+        r_ds,
+        cs_row["n_docs"],
+        cs_row["avgdl"],
+        r_pos,
+        term_a,
+        term_b,
+        window,
+        [term_a, term_b],
+        k=10,
+        term_buckets=meta["term_buckets"],
+        pos_term_buckets=ptb,
+    ).collect()
+    assert len(served) == 10
+
+    # reference: in-memory corpus-side composition (fresh positions build)
+    ids = with_doc_id(corpus)
+    tf = tokenize_tf(ids).cache()
+    ds0 = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    prox = proximity_match_indexed(
+        spark, build_positions(ids), term_a, term_b, window
+    )
+    base = bm25_scores(
+        tf,
+        ds0,
+        cs_row["n_docs"],
+        cs_row["avgdl"],
+        query_terms_df(spark, [term_a, term_b]),
+    )
+    boost = 1.0 + F.when(
+        F.col("min_dist").isNotNull(), 1.0 / (1.0 + F.col("min_dist"))
+    ).otherwise(0.0)
+    boosted = base.join(prox, "doc_id", "left").select(
+        "doc_id", (F.col("score") * boost).alias("score")
+    )
+    want = topk(boosted, 10).collect()
+    tf.unpersist()
+
+    assert [r["doc_id"] for r in served] == [r["doc_id"] for r in want]
+    for a, b in zip(served, want):
+        assert a["rank"] == b["rank"]
+        assert a["score"] == _pytest.approx(b["score"], abs=1e-9)
+
+
 def test_min_dist_sorted_property():
     """Hypothesis: the sorted-merge min-distance kernel equals the
     brute-force all-pairs minimum on arbitrary sorted int lists."""
