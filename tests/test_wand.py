@@ -74,3 +74,152 @@ def test_wand_actually_prunes_on_skewed_postings():
     # (block-max refinement only fires with 3+ near-threshold terms, so
     # n_block_skips may legitimately be 0 here)
     assert stats["n_scored"] < stats["n_candidates"] * 0.1, stats
+
+
+def test_blockmax_pruned_decode_equals_exhaustive_and_prunes(spark):
+    """The DEFAULT distributed serving path (VERDICT r4 #2): two-phase
+    block-max pruning in bm25_topk_compressed must return rank- and
+    score-identical results to the exhaustive decode, and on a corpus with
+    a stopword-grade term it must measurably shrink the decoded candidate
+    set (the rows that would otherwise shuffle)."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+        tokenize_tf,
+        with_doc_id,
+    )
+    from information_retrieval_project_spark.corpus import generate_corpus
+    from information_retrieval_project_spark.index.bucketing import (
+        prune_terms,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        blockmax_prune_info,
+        bm25_topk_compressed,
+        decode_candidates,
+    )
+
+    ids = with_doc_id(generate_corpus(spark, 2000, partitions=4))
+    tf = tokenize_tf(ids).cache()
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    # segmented salted build → multiple rows per hot term, the layout the
+    # pruning must stay exact on (df = term-total, blocks disjoint per term)
+    idx = build_postings(
+        tf,
+        BuildConfig(
+            hot_df_threshold=100,
+            docs_per_salt=200,
+            hot_detection_sample=1.0,
+            segment_hot_terms=True,
+        ),
+    ).cache()
+    query = ["def", "return", "buffer"]  # hot + hot + selective
+
+    for k in (5, 10):
+        pruned = bm25_topk_compressed(
+            spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=k,
+            blockmax=True,
+        ).collect()
+        exhaustive = bm25_topk_compressed(
+            spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=k,
+            blockmax=False,
+        ).collect()
+        assert [r["doc_id"] for r in pruned] == [
+            r["doc_id"] for r in exhaustive
+        ]
+        for a, b in zip(pruned, exhaustive):
+            assert a["rank"] == b["rank"]
+            assert abs(a["score"] - b["score"]) < 1e-9
+
+    # rounded-rank variant (the gate's mode): identity on rounded values
+    pr = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=10,
+        round_scores=5, blockmax=True,
+    ).collect()
+    ex = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=10,
+        round_scores=5, blockmax=False,
+    ).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in pr] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in ex
+    ]
+
+    tf.unpersist(); ds.unpersist(); idx.unpersist()
+
+
+def test_blockmax_candidate_generation_prunes_stopword_postings(spark):
+    """The measured decoded-row reduction (VERDICT r4 #2 'Done' bar): on a
+    skewed corpus — a selective high-idf term + a stopword-grade term — the
+    candidate-generation pass must drop the stopword's blocks (pigeonhole
+    rule: their upper bound can't supply 1/|Q| of the certified k-th
+    score), so the rows that reach the shuffle collapse from every posting
+    of every query term to roughly the selective term's postings. Exactness
+    vs the exhaustive decode is asserted alongside."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+        tokenize_tf,
+    )
+    from information_retrieval_project_spark.index.bucketing import (
+        prune_terms,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        blockmax_prune_info,
+        bm25_topk_compressed,
+        decode_candidates,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):
+        words = ["common"] * rng.randint(1, 2) + [
+            f"filler{rng.randint(0, 200)}" for _ in range(rng.randint(5, 30))
+        ]
+        if i % 8 == 0:  # 375 docs carry the selective term, tf 2..8
+            words += ["rare"] * rng.randint(2, 8)
+        rng.shuffle(words)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    tf = tokenize_tf(docs).cache()
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(
+            hot_df_threshold=500, docs_per_salt=800, hot_detection_sample=1.0
+        ),
+    ).cache()
+    query = ["rare", "common"]
+
+    pruned = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=10, blockmax=True
+    ).collect()
+    exhaustive = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], query, k=10, blockmax=False
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in pruned] == [
+        (r["rank"], r["doc_id"]) for r in exhaustive
+    ]
+    for a, b in zip(pruned, exhaustive):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+    # the measured reduction: surviving blocks vs full posting volume
+    irows = prune_terms(idx, query, None)
+    info = blockmax_prune_info(irows, ds, cs["n_docs"], cs["avgdl"], 10)
+    assert info is not None
+    n_all = decode_candidates(irows).count()
+    n_kept = decode_candidates(irows, prune=info, n_docs=cs["n_docs"]).count()
+    # 'common' df=3000, 'rare' df~375: dropping common's blocks leaves
+    # <= rare's postings + a handful of surviving common blocks
+    assert n_kept < 0.5 * n_all, (n_kept, n_all)
+    tf.unpersist(); ds.unpersist(); idx.unpersist()
