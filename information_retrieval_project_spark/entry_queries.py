@@ -1275,23 +1275,41 @@ def q_bm25_search_after(spark, sf_dir):
     the next PAGE_SIZE. At scale this is the only paging that works: OFFSET
     n re-ranks and discards n rows per page, the keyset predicate prunes
     before the top-k heap. Emits global ranks (PAGE_SIZE+1 .. 2*PAGE_SIZE);
-    correctness = identity with the oracle's row_number window."""
+    correctness = identity with the oracle's row_number window. Built on
+    the generalized cursor API (queryexec/paging.py — VERDICT r4 #6; the
+    pagination invariant is property-tested in tests/test_paging.py)."""
+    from .queryexec.paging import cursor_of, page_after_df
+
     scores = _bm25_scores(spark, sf_dir, BM25_QUERY).select(
         "doc_id", F.round("score", 5).alias("score")
     )
-    cursor = (
-        _rank_limit(scores, PAGE_SIZE)
-        .filter(F.col("rank") == PAGE_SIZE)
-        .select(
-            F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc")
-        )
+    page1 = page_after_df(scores, PAGE_SIZE)
+    return page_after_df(
+        scores, PAGE_SIZE, cursor_of(page1, PAGE_SIZE), rank_offset=PAGE_SIZE
     )
-    after = scores.crossJoin(F.broadcast(cursor)).filter(
-        (F.col("score") < F.col("c_score"))
-        | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
-    ).select("doc_id", "score")
-    return _rank_limit(after, PAGE_SIZE).select(
-        (F.col("rank") + PAGE_SIZE).alias("rank"), "doc_id", "score"
+
+
+def q_bm25_page3(spark, sf_dir):
+    """Page THREE via two chained cursor hops (page1 → cursor → page2 →
+    cursor → page3), all lazy — the multi-page composition the single-hop
+    gate can't witness. Emits global ranks 2·PAGE_SIZE+1 .. 3·PAGE_SIZE;
+    the oracle is the plain row_number window over the same ranking, so a
+    cursor bug anywhere in the chain (tie handling included) flips the
+    hash."""
+    from .queryexec.paging import cursor_of, page_after_df
+
+    scores = _bm25_scores(spark, sf_dir, BM25_QUERY).select(
+        "doc_id", F.round("score", 5).alias("score")
+    )
+    p1 = page_after_df(scores, PAGE_SIZE)
+    p2 = page_after_df(
+        scores, PAGE_SIZE, cursor_of(p1, PAGE_SIZE), rank_offset=PAGE_SIZE
+    )
+    return page_after_df(
+        scores,
+        PAGE_SIZE,
+        cursor_of(p2, PAGE_SIZE),
+        rank_offset=2 * PAGE_SIZE,
     )
 
 
@@ -1315,6 +1333,20 @@ SQL_BM25_SEARCH_AFTER = f"""
            doc_id, score
     FROM page2
     ORDER BY score DESC, doc_id ASC LIMIT {PAGE_SIZE}
+"""
+
+
+SQL_BM25_PAGE3 = f"""
+    WITH scored_all AS ({_bm25_sql(BM25_QUERY, with_topk=False)}),
+    ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored_all
+    )
+    SELECT rn AS rank, doc_id, score
+    FROM ranked
+    WHERE rn > {2 * PAGE_SIZE} AND rn <= {3 * PAGE_SIZE}
+    ORDER BY rank
 """
 
 
@@ -2762,6 +2794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search_after": q_bm25_search_after,
     # --- new in round 5 ---
     "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
+    "bm25_page3": q_bm25_page3,
     # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2892,6 +2925,7 @@ ORACLE_SQL: dict[str, str] = {
     "boolean_or_not_docs": SQL_BOOLEAN_OR_NOT_DOCS,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "bm25_search_after": SQL_BM25_SEARCH_AFTER,
+    "bm25_page3": SQL_BM25_PAGE3,
     # ann_ivf_topk: intentionally no oracle (iterative k-means quantizer is
     # engine-internal, not ANSI-SQL) → driver records a rows-only check.
 }
