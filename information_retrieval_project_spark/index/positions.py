@@ -149,10 +149,29 @@ def write_positions(
     than _STAGING_GC_AGE_S are reclaimed) so a slow LIVE writer's staging
     area is never reaped by a newly started one."""
     import os
-    import shutil
-    import time
 
     from .bucketing import term_bucket_expr
+
+    vname, tmp = _begin_staging(out_dir)
+    (
+        pos_idx.withColumn("term_bucket", term_bucket_expr(term_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    _write_meta(pos_idx.sparkSession, tmp, term_buckets)
+    _commit_version(out_dir, tmp, vname)
+
+
+def _begin_staging(out_dir: str) -> tuple[str, str]:
+    """Allocate the next version name and its staging dir, GC'ing staging
+    leftovers from CRASHED writers first — age-gated: a dir younger than
+    the threshold may belong to a live concurrent writer mid-stage
+    (ADVICE r4), so it is left alone."""
+    import os
+    import shutil
+    import time
 
     os.makedirs(out_dir, exist_ok=True)
     versions = sorted(
@@ -163,9 +182,6 @@ def write_positions(
         (int(v[len(_POS_PREFIX):]) for v in versions), default=0
     )
     vname = f"{_POS_PREFIX}{nxt:06d}"
-    # GC stale staging dirs from CRASHED writers before staging our own —
-    # age-gated: a dir younger than the threshold may belong to a live
-    # concurrent writer mid-stage (ADVICE r4), so it is left alone
     now = time.time()
     for d in os.listdir(out_dir):
         if d.startswith("_positions_staging"):
@@ -176,22 +192,32 @@ def write_positions(
                 continue
             if age > _STAGING_GC_AGE_S:
                 shutil.rmtree(p, ignore_errors=True)
-    tmp = os.path.join(out_dir, f"_positions_staging_{vname}")
-    (
-        pos_idx.withColumn("term_bucket", term_bucket_expr(term_buckets))
-        .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(tmp, "data"))
+    return vname, os.path.join(out_dir, f"_positions_staging_{vname}")
+
+
+def _write_meta(spark: SparkSession, staging: str, term_buckets: int) -> None:
+    import os
+
+    meta = spark.createDataFrame([(int(term_buckets),)], "term_buckets int")
+    meta.coalesce(1).write.mode("overwrite").json(
+        os.path.join(staging, "meta")
     )
-    meta = pos_idx.sparkSession.createDataFrame(
-        [(int(term_buckets),)], "term_buckets int"
+
+
+def _commit_version(out_dir: str, tmp: str, vname: str) -> None:
+    """Publish a fully staged snapshot: one os.rename, then the atomic
+    pointer flip (write tmp + os.replace), then retention GC. The
+    previously COMMITTED version (pointer content, not directory listing —
+    a dir published by a writer that crashed before its pointer flip is
+    garbage, not history) survives one more write so in-flight readers
+    pinned to it keep their files."""
+    import os
+    import shutil
+
+    versions = sorted(
+        d for d in os.listdir(out_dir)
+        if d.startswith(_POS_PREFIX) and not d.startswith("_")
     )
-    meta.coalesce(1).write.mode("overwrite").json(os.path.join(tmp, "meta"))
-    # the previously COMMITTED version (pointer content, not directory
-    # listing — a dir published by a writer that crashed before its pointer
-    # flip is garbage, not history) survives one more write so in-flight
-    # readers pinned to it keep their files
     ptr_path = os.path.join(out_dir, _POS_CURRENT)
     prev = None
     if os.path.exists(ptr_path):
@@ -219,6 +245,100 @@ def write_positions(
         shutil.rmtree(
             os.path.join(out_dir, "positions_bundle"), ignore_errors=True
         )
+
+
+def _link_tree(src_data: str, dst_data: str, prefix: str) -> int:
+    """Hardlink every data file under src_data into the same relative
+    location under dst_data, basenames prefixed to avoid collisions with
+    freshly written part-files. Hardlinks make the append O(#files), not
+    O(bytes) — the previous snapshot's payload is never rewritten or
+    copied (falls back to copy on filesystems without link support).
+    Returns the number of files linked."""
+    import os
+    import shutil
+
+    n = 0
+    for root, _dirs, files in os.walk(src_data):
+        rel = os.path.relpath(root, src_data)
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue  # _SUCCESS / hidden markers
+            dst_dir = (
+                dst_data if rel == "." else os.path.join(dst_data, rel)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            src = os.path.join(root, fn)
+            dst = os.path.join(dst_dir, f"{prefix}{fn}")
+            # retry after a crash re-stages into the same staging dir —
+            # replace any leftover from the earlier attempt
+            if os.path.exists(dst):
+                os.remove(dst)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            n += 1
+    return n
+
+
+def append_positions(
+    spark: SparkSession, out_dir: str, new_docs_corpus: DataFrame
+) -> dict:
+    """Incremental positional-index maintenance (VERDICT r4 #7): tokenize
+    ONLY the new documents, stage a snapshot whose data = hardlinks to the
+    committed snapshot's files + the new docs' freshly written partitions,
+    and commit through the same versioned CURRENT-pointer protocol as
+    write_positions. The dominant cost is the new docs' tokenize pass —
+    history is never re-read, re-encoded, or copied.
+
+    new_docs_corpus: (doc_id, content) rows for documents NOT yet in the
+    store (append-only, same contract as incremental_index_update: the
+    caller dedupes; re-appending a doc_id would create duplicate
+    (term, doc) rows — proximity merges them correctly but phrase match
+    counts would double). The stored term-bucket modulus is REUSED (read
+    from the sidecar) so partition pruning stays valid.
+
+    Crash-safe like every write here: a crash at any point leaves the
+    pointer on the previous consistent snapshot (hardlinks live inside the
+    staging dir until the single publish rename), and the next append
+    simply re-stages. A store with no committed snapshot gets an initial
+    full write at the default modulus."""
+    import os
+
+    from .bucketing import term_bucket_expr
+
+    ptr = os.path.join(out_dir, _POS_CURRENT)
+    if not os.path.exists(ptr):
+        new_idx = build_positions(new_docs_corpus)
+        write_positions(new_idx, out_dir)
+        return {"mode": "initial", "linked_files": 0}
+    with open(ptr) as f:
+        cur_name = f.read().strip()
+    cur_dir = os.path.join(out_dir, cur_name)
+    if not cur_name or not os.path.isdir(cur_dir):
+        raise ValueError(
+            f"POSITIONS_CURRENT in {out_dir} names missing snapshot "
+            f"{cur_name!r}"
+        )
+    _, term_buckets = read_positions(spark, out_dir)
+
+    vname, tmp = _begin_staging(out_dir)
+    delta = build_positions(new_docs_corpus)
+    (
+        delta.withColumn("term_bucket", term_bucket_expr(term_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(tmp, "data"))
+    )
+    linked = _link_tree(
+        os.path.join(cur_dir, "data"),
+        os.path.join(tmp, "data"),
+        prefix=f"{cur_name}_",
+    )
+    _write_meta(spark, tmp, term_buckets)
+    _commit_version(out_dir, tmp, vname)
+    return {"mode": "appended", "linked_files": linked, "snapshot": vname}
 
 
 def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:

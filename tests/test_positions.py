@@ -426,9 +426,11 @@ def test_write_positions_crash_never_mismatches_modulus(spark, tmp_path):
     write_positions(idx, out, term_buckets=32)
 
     # crash window 1: a re-bucketing run dies before the version-dir
-    # rename (staging written, never published)
+    # rename (staging written, never published); backdated mtime — the
+    # staging GC is age-gated (ADVICE r4), young dirs may be live writers
     staging = os.path.join(out, "_positions_staging_positions_v000042")
     os.makedirs(os.path.join(staging, "data"), exist_ok=True)
+    os.utime(staging, (0, 0))
     stored, tb = read_positions(spark, out)
     assert tb == 32 and stored.count() == idx.count()  # old snapshot intact
 
@@ -653,6 +655,115 @@ def test_proximity_topk_served_from_stored_segmented_indexes(spark, tmp_path):
     for a, b in zip(served, want):
         assert a["rank"] == b["rank"]
         assert a["score"] == _pytest.approx(b["score"], abs=1e-9)
+
+
+def test_append_positions_incremental_maintenance(spark, tmp_path):
+    """Incremental positional maintenance (VERDICT r4 #7): appending a new
+    doc batch must (a) tokenize only the new docs and link — not rewrite —
+    the old snapshot's files, (b) go through the same versioned
+    CURRENT-pointer protocol, (c) leave phrase and proximity queries
+    rank-identical to a full rebuild over the union, and (d) survive a
+    crashed attempt (staging leftovers + published-but-unpointed version)
+    with a clean retry."""
+    import os
+
+    from information_retrieval_project_spark.index.positions import (
+        append_positions,
+        proximity_match_indexed,
+        read_positions,
+        write_positions,
+    )
+
+    out = str(tmp_path / "posappend")
+    corpus_a = with_doc_id(generate_corpus(spark, 150, partitions=2)).cache()
+    corpus_b = (
+        with_doc_id(generate_corpus(spark, 220, partitions=2))
+        .filter(F.col("doc_id") % 3 == 0)
+        .join(corpus_a.select("doc_id"), "doc_id", "left_anti")
+        .cache()
+    )
+    assert corpus_b.count() > 10
+
+    # initial append on an empty store = full write
+    r0 = append_positions(spark, out, corpus_a)
+    assert r0["mode"] == "initial"
+    _, tb0 = read_positions(spark, out)
+
+    # crash simulation: stale staging + a published version with no pointer
+    os.makedirs(os.path.join(out, "_positions_staging_positions_v000042"))
+    os.utime(
+        os.path.join(out, "_positions_staging_positions_v000042"),
+        (0, 0),  # old enough for the age-gated GC
+    )
+    os.makedirs(os.path.join(out, "positions_v000099", "data"))
+
+    r1 = append_positions(spark, out, corpus_b)
+    assert r1["mode"] == "appended" and r1["linked_files"] > 0
+    stored, tb1 = read_positions(spark, out)
+    assert tb1 == tb0  # modulus reused from the sidecar
+
+    # full rebuild over the union — the appended store must match exactly
+    union = corpus_a.unionByName(corpus_b)
+    full = build_positions(union)
+    pos_rel = _corpus_positions(union)
+    top = (
+        pos_rel.alias("a")
+        .join(
+            pos_rel.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("w1"), F.col("b.term").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    phrase = [top["w1"], top["w2"]]
+    got_p = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_indexed(spark, stored, phrase, tb1).collect()
+    }
+    want_p = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_indexed(spark, full, phrase).collect()
+    }
+    assert got_p == want_p and len(want_p) > 0
+
+    got_x = {
+        (r["doc_id"], r["min_dist"])
+        for r in proximity_match_indexed(
+            spark, stored, "def", "return", 8, tb1
+        ).collect()
+    }
+    want_x = {
+        (r["doc_id"], r["min_dist"])
+        for r in proximity_match_indexed(
+            spark, full, "def", "return", 8
+        ).collect()
+    }
+    assert got_x == want_x and len(want_x) > 0
+
+    # row-level identity: appended store carries exactly the union's rows
+    assert stored.count() == full.count()
+
+    # second append is also clean (chained snapshots, retention window)
+    corpus_c = (
+        with_doc_id(generate_corpus(spark, 300, partitions=2))
+        .filter(F.col("doc_id") % 7 == 0)
+        .join(
+            corpus_a.select("doc_id").unionByName(corpus_b.select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    if corpus_c.count() > 0:
+        r2 = append_positions(spark, out, corpus_c)
+        assert r2["mode"] == "appended"
+        stored2, _ = read_positions(spark, out)
+        assert stored2.count() == full.count() + build_positions(
+            corpus_c
+        ).count()
+    corpus_a.unpersist(); corpus_b.unpersist()
 
 
 def test_min_dist_sorted_property():
