@@ -38,6 +38,9 @@ HEADLINE = [
     "tfidf_cosine",
     "term_df",
     "minhash_band_pairs",
+    # engine-native xxhash64 signatures (the md5 form above is the
+    # oracle-parity gate; VERDICT r4 #5 asked for both recorded)
+    "minhash_band_pairs_fast",
     "token_stats",
     "cosine_scores",
     "pricing_summary",

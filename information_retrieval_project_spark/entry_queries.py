@@ -478,6 +478,27 @@ SQL_MINHASH_BAND_PAIRS = f"""
 """
 
 
+def q_minhash_band_pairs_fast(spark, sf_dir):
+    """ENGINE-NATIVE LSH banding (VERDICT r4 #5: the oracled gate's
+    md5-per-hash signatures are its measured cost — md5 is the
+    oracle-parity choice, not the engine one): same distinct-3-shingle
+    corpus relation, but signatures + band keys via seeded xxhash64
+    (dedup.minhash_signatures / minhash_lsh_pairs — one 64-bit JVM hash
+    per (shingle, seed) instead of an md5 hex string), same 4x4 banding
+    and the same 1000-member bucket cap. Different permutation proxy ⇒ a
+    different (equally valid) candidate-pair sample at the same Jaccard
+    threshold, so there is no SQL oracle (DuckDB has no xxhash64) — the
+    driver records rows-only; pytest asserts exact-duplicate recall
+    matches the md5 form. bench.py records BOTH timings."""
+    from .dedup.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sh = _shingles(spark, sf_dir)
+    sig = minhash_signatures(sh, n_hashes=16)
+    return minhash_lsh_pairs(
+        sig, n_bands=4, rows_per_band=4, max_bucket=1000
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """3-token-shingle Jaccard over candidate pairs sharing ≥1 shingle.
     Join-based set-similarity (the scalable form of pairwise Jaccard), with
@@ -2846,6 +2867,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity": q_perplexity,
     "tf_pairs_ws": q_tf_pairs_ws,
     "query_term_overlap": q_query_term_overlap,
+    # tail (outside the driver's 50-query hash window by design): rows-only
+    # perf variant — no DuckDB xxhash64, so no value oracle exists; keeping
+    # it out of the window preserves oracled coverage there
+    "minhash_band_pairs_fast": q_minhash_band_pairs_fast,
 }
 
 ORACLE_SQL: dict[str, str] = {

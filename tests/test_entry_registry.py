@@ -5,8 +5,11 @@ Guards against a new query silently shipping without its DuckDB oracle
 
 from information_retrieval_project_spark import entry_queries as EQ
 
-# genuinely non-SQL-expressible (iterative k-means quantizer state)
-ROWS_ONLY_ALLOWLIST = {"ann_ivf_topk"}
+# genuinely non-SQL-expressible: ann_ivf_topk (iterative k-means quantizer
+# state), minhash_band_pairs_fast (seeded xxhash64 signatures — DuckDB has
+# no xxhash64; the md5 sibling minhash_band_pairs carries the value oracle,
+# and test_pipeline_ops pins the fast variant's exact-duplicate recall)
+ROWS_ONLY_ALLOWLIST = {"ann_ivf_topk", "minhash_band_pairs_fast"}
 
 
 def test_every_query_has_an_oracle_or_is_allowlisted():

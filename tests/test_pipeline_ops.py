@@ -433,3 +433,78 @@ def test_facet_counts_quoted_identifiers_and_validation(spark):
 
     with pytest.raises(ValueError, match="not in docs_meta"):
         facet_counts(match, meta, ["nope"])
+
+
+def test_minhash_fast_variant_recalls_exact_duplicates(spark):
+    """The xxhash64 engine variant (minhash_band_pairs_fast) has no SQL
+    oracle (DuckDB lacks xxhash64), so pin its semantics here: documents
+    with IDENTICAL shingle sets minhash identically under ANY hash family,
+    so planted exact-duplicate pairs must be recalled by BOTH the md5
+    (oracle-parity) and xxhash64 signature pipelines, under the same 4x4
+    banding + bucket cap."""
+    import random
+
+    from information_retrieval_project_spark.dedup.dedup import (
+        cap_buckets,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(30):
+        text = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((2 * i, text))
+        if i < 6:
+            rows.append((2 * i + 1, text))  # planted exact duplicate
+        else:
+            rows.append(
+                (2 * i + 1, " ".join(rng.choice(vocab) for _ in range(40)))
+            )
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    planted = {(2 * i, 2 * i + 1) for i in range(6)}
+    sh = shingles(docs)
+
+    # fast path (the q_minhash_band_pairs_fast pipeline)
+    fast = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            minhash_signatures(sh, n_hashes=16),
+            n_bands=4,
+            rows_per_band=4,
+            max_bucket=1000,
+        ).collect()
+    }
+    # md5 oracle-parity path (the q_minhash_band_pairs pipeline)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(16)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for bidx in range(4):
+        bcols = [F.col(f"h{4 * bidx + r}") for r in range(4)]
+        bdf = sig.select(
+            "doc_id", F.lit(bidx).alias("band"), F.concat(*bcols).alias("key")
+        )
+        bands = bdf if bands is None else bands.unionByName(bdf)
+    bands = cap_buckets(bands, ["band", "key"], 1000)
+    a, b = bands.alias("a"), bands.alias("b")
+    md5 = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert planted <= fast
+    assert planted <= md5
