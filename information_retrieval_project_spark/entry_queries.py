@@ -2779,6 +2779,51 @@ SQL_BM25_TOPK_FACETED = f"""
 """
 
 
+def q_bm25_topk_faceted_served(spark, sf_dir):
+    """The SAME facet drill-down top-5 as bm25_topk_faceted, but scored
+    from the stored compressed index (the facet sibling of the served
+    phrase/proximity gates): the facet filter is a metadata predicate
+    pushed to the documents parquet scan (doc_id + facet columns only),
+    passed as candidate_docs into the compressed scorer — index
+    bucket-pruned, corpus text never read. Oracled by the identical
+    corpus-side SQL, proving the served composition rank-identical."""
+    from .index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+        tokenize_tf,
+    )
+    from .queryexec.wand import bm25_topk_compressed
+
+    tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0),
+    )
+    facet_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col(FACET_DRILL[0]) == FACET_DRILL[1])
+        .select("doc_id")
+    )
+    out = bm25_topk_compressed(
+        spark,
+        idx,
+        ds,
+        cs["n_docs"],
+        cs["avgdl"],
+        BM25_QUERY,
+        k=5,
+        candidate_docs=facet_docs,
+        round_scores=5,  # rank on rounded values, same as the oracle
+    ).select("rank", "doc_id", "score")
+    out = out.localCheckpoint(eager=True)
+    ds.unpersist()
+    return out
+
+
 # Registration ORDER is part of the driver contract: the correctness gate
 # hashes the FIRST 50 entries in registration order. Rounds 1-4 registered
 # the original 50 first, so everything added in rounds 3-4 (phrase,
@@ -2816,6 +2861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 ---
     "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
     "bm25_page3": q_bm25_page3,
+    "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
     # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2941,9 +2987,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_phrase_topk": SQL_BM25_PHRASE_TOPK,
     "bm25_phrase_topk_served": SQL_BM25_PHRASE_TOPK,
     "bm25_proximity_topk": SQL_BM25_PROXIMITY_TOPK,
-    # served form answers the SAME question from stored indexes — identical
-    # corpus-side oracle proves the composition rank-identical
+    # served forms answer the SAME question from stored indexes — identical
+    # corpus-side oracles prove the compositions rank-identical
     "bm25_proximity_topk_served": SQL_BM25_PROXIMITY_TOPK,
+    "bm25_topk_faceted_served": SQL_BM25_TOPK_FACETED,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
