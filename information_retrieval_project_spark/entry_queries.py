@@ -2862,6 +2862,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
     "bm25_page3": q_bm25_page3,
     "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
+    # moved up from the tail: its DEFAULT path changed this round (two-phase
+    # block-max pruning) — the driver must hash the NEW path, not rely on
+    # r03/r04 evidence of the old exhaustive decode
+    "bm25_topk_compressed": q_bm25_topk_compressed,
     # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
@@ -2892,7 +2896,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_distribution": q_lang_distribution,
     "event_sessionize": q_event_sessionize,
     "compressed_term_df": q_compressed_term_df,
-    "bm25_topk_compressed": q_bm25_topk_compressed,
     "bm25_topk_sharded": q_bm25_topk_sharded,
     "simhash_fingerprints": q_simhash_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
