@@ -119,7 +119,10 @@ _STAGING_GC_AGE_S = 15 * 60  # staging dirs younger than this may be live
 
 
 def write_positions(
-    pos_idx: DataFrame, out_dir: str, term_buckets: int = 32
+    pos_idx: DataFrame,
+    out_dir: str,
+    term_buckets: int = 32,
+    state_files: dict[str, str] | None = None,
 ) -> None:
     """Persist the positional index partitioned by the shared term-bucket
     scheme (index/bucketing.py — same hash as the main index), with the
@@ -161,6 +164,7 @@ def write_positions(
         .parquet(os.path.join(tmp, "data"))
     )
     _write_meta(pos_idx.sparkSession, tmp, term_buckets)
+    _write_state(tmp, state_files)
     _commit_version(out_dir, tmp, vname)
 
 
@@ -202,6 +206,35 @@ def _write_meta(spark: SparkSession, staging: str, term_buckets: int) -> None:
     meta.coalesce(1).write.mode("overwrite").json(
         os.path.join(staging, "meta")
     )
+
+
+def _write_state(staging: str, state_files: dict[str, str] | None) -> None:
+    """Caller-supplied state files (e.g. the incorporated-corpus-file list
+    of streaming.incremental.incremental_corpus_update) committed WITH the
+    snapshot — state and data flip together, the same all-or-nothing rule
+    the main index snapshots follow."""
+    import os
+
+    for name, content in (state_files or {}).items():
+        with open(os.path.join(staging, name), "w") as f:
+            f.write(content)
+
+
+def read_positions_state(out_dir: str, name: str) -> str | None:
+    """Content of a state file committed with the CURRENT snapshot, or None
+    (no snapshot / no such file — legacy bundles carry no state)."""
+    import os
+
+    ptr = os.path.join(out_dir, _POS_CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        vname = f.read().strip()
+    path = os.path.join(out_dir, vname, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read()
 
 
 def _commit_version(out_dir: str, tmp: str, vname: str) -> None:
@@ -282,7 +315,11 @@ def _link_tree(src_data: str, dst_data: str, prefix: str) -> int:
 
 
 def append_positions(
-    spark: SparkSession, out_dir: str, new_docs_corpus: DataFrame
+    spark: SparkSession,
+    out_dir: str,
+    new_docs_corpus: DataFrame | None = None,
+    delta_positions: DataFrame | None = None,
+    state_files: dict[str, str] | None = None,
 ) -> dict:
     """Incremental positional-index maintenance (VERDICT r4 #7): tokenize
     ONLY the new documents, stage a snapshot whose data = hardlinks to the
@@ -295,8 +332,14 @@ def append_positions(
     store (append-only, same contract as incremental_index_update: the
     caller dedupes; re-appending a doc_id would create duplicate
     (term, doc) rows — proximity merges them correctly but phrase match
-    counts would double). The stored term-bucket modulus is REUSED (read
-    from the sidecar) so partition pruning stays valid.
+    counts would double). delta_positions: the already-built positional
+    relation for those docs instead (pass ONE of the two) — the hook for
+    callers that derive postings AND positions from one fused tokenize
+    pass (streaming.incremental.incremental_corpus_update) and must not
+    pay a second corpus scan here. state_files: caller state committed
+    atomically WITH the snapshot (read back via read_positions_state).
+    The stored term-bucket modulus is REUSED (read from the sidecar) so
+    partition pruning stays valid.
 
     Crash-safe like every write here: a crash at any point leaves the
     pointer on the previous consistent snapshot (hardlinks live inside the
@@ -307,10 +350,19 @@ def append_positions(
 
     from .bucketing import term_bucket_expr
 
+    if (new_docs_corpus is None) == (delta_positions is None):
+        raise ValueError(
+            "pass exactly one of new_docs_corpus / delta_positions"
+        )
+
     ptr = os.path.join(out_dir, _POS_CURRENT)
     if not os.path.exists(ptr):
-        new_idx = build_positions(new_docs_corpus)
-        write_positions(new_idx, out_dir)
+        delta = (
+            delta_positions
+            if delta_positions is not None
+            else build_positions(new_docs_corpus)
+        )
+        write_positions(delta, out_dir, state_files=state_files)
         return {"mode": "initial", "linked_files": 0}
     with open(ptr) as f:
         cur_name = f.read().strip()
@@ -323,7 +375,11 @@ def append_positions(
     _, term_buckets = read_positions(spark, out_dir)
 
     vname, tmp = _begin_staging(out_dir)
-    delta = build_positions(new_docs_corpus)
+    delta = (
+        delta_positions
+        if delta_positions is not None
+        else build_positions(new_docs_corpus)
+    )
     (
         delta.withColumn("term_bucket", term_bucket_expr(term_buckets))
         .repartition("term_bucket")
@@ -337,6 +393,7 @@ def append_positions(
         prefix=f"{cur_name}_",
     )
     _write_meta(spark, tmp, term_buckets)
+    _write_state(tmp, state_files)
     _commit_version(out_dir, tmp, vname)
     return {"mode": "appended", "linked_files": linked, "snapshot": vname}
 

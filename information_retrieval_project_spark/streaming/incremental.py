@@ -168,9 +168,37 @@ def incremental_index_update(
     new = [f for f in files if os.path.basename(f) not in incorporated]
     if not new:
         return {"mode": "noop", "new_files": 0, "snapshot": cur_name}
+    delta_tf = spark.read.parquet(*new)
+    return _apply_index_delta(
+        spark,
+        delta_tf,
+        out_dir,
+        cur,
+        incorporated | {os.path.basename(f) for f in new},
+        len(new),
+        cfg,
+        retain,
+    )
+
+
+def _apply_index_delta(
+    spark: SparkSession,
+    delta_tf: DataFrame,
+    out_dir: str,
+    cur: tuple[str, str] | None,
+    incorporated: set[str],
+    n_new: int,
+    cfg: BuildConfig,
+    retain: int,
+) -> dict:
+    """The merge + snapshot-commit core of incremental_index_update, with
+    the delta already materialized as a tf relation — shared by the
+    file-driven entry point above and by incremental_corpus_update (whose
+    delta comes from ONE fused tokenize pass feeding this index AND the
+    positional store)."""
     from ..index.build import collection_stats, doc_stats
 
-    delta_tf = spark.read.parquet(*new)
+    cur_name = cur[0] if cur else None
     delta_idx = build_postings(delta_tf, cfg)
     delta_ds = doc_stats(delta_tf)
     if cur:
@@ -194,7 +222,6 @@ def incremental_index_update(
     collection_stats(
         spark.read.parquet(os.path.join(staging, "doc_stats"))
     ).write.mode("overwrite").parquet(os.path.join(staging, "collection_stats"))
-    incorporated |= {os.path.basename(f) for f in new}
     with open(os.path.join(staging, "incorporated.json"), "w") as f:
         json.dump(sorted(incorporated), f)
     # one rename publishes data AND state together; the pointer flip commits
@@ -208,7 +235,119 @@ def incremental_index_update(
     # this deletion relative to the just-committed snapshot, and it also
     # runs on startup in case of a crash right here
     _recover(out_dir, next_name, retain)
-    return {"mode": mode, "new_files": len(new), "snapshot": next_name}
+    return {"mode": mode, "new_files": n_new, "snapshot": next_name}
+
+
+def incremental_corpus_update(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    cfg: BuildConfig = BuildConfig(),
+    retain: int = 2,
+) -> dict:
+    """Maintain BOTH servable stores from the corpus itself: the merged
+    postings index (incremental_index_update's snapshot protocol, under
+    out_dir/index_store) AND the positional index
+    (index/positions.append_positions, under out_dir/positions_store) —
+    with the dominant tokenize cost paid ONCE per new-file batch via the
+    fused tokenize_tf_positions pass (the maintenance-path form of
+    build_index(positions=True): at 100 TB the corpus scan is the build,
+    so a deployment serving BM25 + phrase/proximity must not scan twice).
+
+    Each store commits its own incorporated-file list atomically WITH its
+    snapshot (incorporated.json — the positions side rides
+    append_positions' state_files). The two commits are sequential, not
+    transactional: a crash between them leaves the index store one batch
+    ahead, and the next run CATCHES THE LAGGING STORE UP with its own
+    scan of exactly the missed files — each store converges independently
+    and append-only idempotence holds per store. Corpus files are
+    append-only immutable batches (the file-source contract of
+    incremental_tf_ingest); re-writing an already-incorporated file is
+    NOT detected (same rule as incremental_index_update: dedupe upstream).
+    """
+    from ..index.build import with_doc_id
+    from ..index.positions import (
+        append_positions,
+        read_positions_state,
+        tokenize_tf_positions,
+    )
+
+    idx_dir = os.path.join(out_dir, "index_store")
+    pos_dir = os.path.join(out_dir, "positions_store")
+    os.makedirs(idx_dir, exist_ok=True)
+    files = sorted(glob(os.path.join(corpus_dir, "*.parquet")))
+
+    cur = _read_current(idx_dir)
+    inc_idx: set[str] = set()
+    if cur:
+        with open(os.path.join(cur[1], "incorporated.json")) as f:
+            inc_idx = set(json.load(f))
+    _recover(idx_dir, cur[0] if cur else None, retain)
+    pos_state = read_positions_state(pos_dir, "incorporated.json")
+    inc_pos: set[str] = set(json.loads(pos_state)) if pos_state else set()
+
+    new_idx = [f for f in files if os.path.basename(f) not in inc_idx]
+    new_pos = [f for f in files if os.path.basename(f) not in inc_pos]
+    if not new_idx and not new_pos:
+        return {"mode": "noop", "new_files": 0}
+
+    out: dict = {}
+    if new_idx and set(new_idx) == set(new_pos):
+        # the common path: ONE fused pass feeds both deltas; persisted so
+        # the index branch (postings + stats) and the positions branch
+        # don't each re-tokenize
+        corpus = with_doc_id(spark.read.parquet(*new_idx))
+        fused = tokenize_tf_positions(corpus).persist()
+        tf_delta = fused.select("doc_id", "term", "tf")
+        pos_delta = fused.select(
+            "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
+        )
+        names = {os.path.basename(f) for f in new_idx}
+        out["index"] = _apply_index_delta(
+            spark, tf_delta, idx_dir, cur, inc_idx | names, len(new_idx),
+            cfg, retain,
+        )
+        out["positions"] = append_positions(
+            spark,
+            pos_dir,
+            delta_positions=pos_delta,
+            state_files={
+                "incorporated.json": json.dumps(sorted(inc_pos | names))
+            },
+        )
+        fused.unpersist()
+        out["mode"] = "fused"
+        return out
+    # catch-up path (after a crash between the two commits): each lagging
+    # store scans exactly its own missed files
+    if new_idx:
+        names = {os.path.basename(f) for f in new_idx}
+        tf_delta = tokenize_tf(with_doc_id(spark.read.parquet(*new_idx)))
+        out["index"] = _apply_index_delta(
+            spark, tf_delta, idx_dir, cur, inc_idx | names, len(new_idx),
+            cfg, retain,
+        )
+    if new_pos:
+        names = {os.path.basename(f) for f in new_pos}
+        out["positions"] = append_positions(
+            spark,
+            pos_dir,
+            new_docs_corpus=with_doc_id(spark.read.parquet(*new_pos)),
+            state_files={
+                "incorporated.json": json.dumps(sorted(inc_pos | names))
+            },
+        )
+    out["mode"] = "catchup"
+    return out
+
+
+def read_served_positions(spark: SparkSession, out_dir: str):
+    """(positions DataFrame, term_buckets) of the corpus-update layout —
+    the positional serving handle next to read_served_index(out_dir +
+    '/index_store')."""
+    from ..index.positions import read_positions
+
+    return read_positions(spark, os.path.join(out_dir, "positions_store"))
 
 
 def windowed_event_counts(

@@ -274,3 +274,122 @@ def test_incremental_update_retention_keeps_previous_snapshot(spark, tmp_path):
         incremental_index_update(spark, tf_dir, out, cfg)
     snaps = sorted(e for e in os.listdir(out) if e.startswith("v"))
     assert snaps == ["v000002", "v000003"]  # current + one predecessor
+
+
+def test_incremental_corpus_update_maintains_both_stores(spark, tmp_path):
+    """incremental_corpus_update: ONE fused tokenize pass per batch feeds
+    the merged postings index AND the appended positional store; both serve
+    results identical to a full rebuild over everything ingested, a crash
+    between the two commits (simulated by rolling the positions store back
+    one batch) is caught up on the next run, and an unchanged corpus is a
+    noop."""
+    import shutil as _sh
+
+    from information_retrieval_project_spark.index.positions import (
+        build_positions,
+        phrase_match_indexed,
+    )
+    from information_retrieval_project_spark.queryexec.bm25 import (
+        bm25_scores,
+        query_terms_df,
+        topk,
+    )
+    from information_retrieval_project_spark.streaming.incremental import (
+        incremental_corpus_update,
+        read_served_index,
+        read_served_positions,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    out = str(tmp_path / "both")
+    os.makedirs(corpus_dir)
+
+    def _add_file(pdf, name):
+        tmp = str(tmp_path / f"_chunk_{name}")
+        _write_chunk(spark, pdf, tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        _sh.move(os.path.join(tmp, part), os.path.join(corpus_dir, name))
+        _sh.rmtree(tmp)
+
+    _add_file(generate_pdf(60, start=0), "f1.parquet")
+    r1 = incremental_corpus_update(spark, corpus_dir, out)
+    assert r1["mode"] == "fused"
+    assert r1["index"]["mode"] == "initial"
+    assert r1["positions"]["mode"] == "initial"
+
+    _add_file(generate_pdf(60, start=60), "f2.parquet")
+    r2 = incremental_corpus_update(spark, corpus_dir, out)
+    assert r2["mode"] == "fused"
+    assert r2["index"]["mode"] == "merged"
+    assert r2["positions"]["mode"] == "appended"
+    assert r2["positions"]["linked_files"] > 0
+
+    # both stores must now equal a full rebuild over ALL ingested docs
+    all_docs = with_doc_id(spark.read.parquet(corpus_dir))
+    tf_full = tokenize_tf(all_docs).cache()
+    ds_full = tf_full.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    n_docs = ds_full.count()
+    avgdl = ds_full.agg(F.avg("doc_len")).collect()[0][0]
+    query = ["def", "return", "import"]
+
+    idx, ds, cs = read_served_index(spark, os.path.join(out, "index_store"))
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    cs_row = cs.collect()[0]
+    assert cs_row["n_docs"] == n_docs
+    served_topk = bm25_topk_compressed(
+        spark, idx, ds, cs_row["n_docs"], cs_row["avgdl"], query, k=10
+    ).collect()
+    want_topk = topk(
+        bm25_scores(
+            tf_full, ds_full, n_docs, float(avgdl),
+            query_terms_df(spark, query),
+        ),
+        10,
+    ).collect()
+    assert [r["doc_id"] for r in served_topk] == [
+        r["doc_id"] for r in want_topk
+    ]
+
+    pos, ptb = read_served_positions(spark, out)
+    full_pos = build_positions(all_docs)
+    got_p = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_indexed(
+            spark, pos, ["def", "handle_request"], ptb
+        ).collect()
+    }
+    want_p = {
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_match_indexed(
+            spark, full_pos, ["def", "handle_request"]
+        ).collect()
+    }
+    assert got_p == want_p
+
+    # noop when nothing new
+    assert incremental_corpus_update(spark, corpus_dir, out)["mode"] == "noop"
+
+    # crash between the two commits: index advanced, positions lagging —
+    # roll the positions store back one batch and let the next run catch up
+    pos_dir = os.path.join(out, "positions_store")
+    backup = str(tmp_path / "pos_backup")
+    _sh.copytree(pos_dir, backup)
+    _add_file(generate_pdf(40, start=120), "f3.parquet")
+    r3 = incremental_corpus_update(spark, corpus_dir, out)
+    assert r3["mode"] == "fused"
+    _sh.rmtree(pos_dir)
+    _sh.copytree(backup, pos_dir)  # positions now one batch behind
+    r4 = incremental_corpus_update(spark, corpus_dir, out)
+    assert r4["mode"] == "catchup"
+    assert "index" not in r4  # index store was already current
+    pos2, ptb2 = read_served_positions(spark, out)
+    all_docs2 = with_doc_id(spark.read.parquet(corpus_dir))
+    assert pos2.count() == build_positions(all_docs2).count()
+    # and the incorporated list caught up — a further run is a noop
+    assert incremental_corpus_update(spark, corpus_dir, out)["mode"] == "noop"
+    tf_full.unpersist()
