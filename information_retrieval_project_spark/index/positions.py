@@ -398,6 +398,80 @@ def append_positions(
     return {"mode": "appended", "linked_files": linked, "snapshot": vname}
 
 
+def compact_positions(spark: SparkSession, out_dir: str) -> dict:
+    """Rewrite the committed snapshot as one fresh bounded-file-count
+    write (same modulus, same pointer protocol, state files carried
+    forward). Hardlink appends (append_positions) add one file set per
+    batch — after many batches the per-partition file count, not the data
+    volume, dominates scan planning; compaction is the positional
+    counterpart of index/merge.compact_segments. Readers pinned to the
+    old snapshot keep their files (one-write retention)."""
+    import json as _json
+    import os
+
+    stored, term_buckets = read_positions(spark, out_dir)
+    inc = read_positions_state(out_dir, "incorporated.json")
+    state = {"incorporated.json": inc} if inc is not None else None
+    n_files_before = sum(
+        1
+        for _root, _d, fs in os.walk(
+            os.path.join(_current_snapshot_dir(out_dir), "data")
+        )
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    write_positions(
+        stored.select("term", "doc_id", "n_occ", "positions"),
+        out_dir,
+        term_buckets=term_buckets,
+        state_files=state,
+    )
+    n_files_after = sum(
+        1
+        for _root, _d, fs in os.walk(
+            os.path.join(_current_snapshot_dir(out_dir), "data")
+        )
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    return {
+        "mode": "compacted",
+        "files_before": n_files_before,
+        "files_after": n_files_after,
+    }
+
+
+def delete_positions_docs(
+    spark: SparkSession, out_dir: str, doc_ids: list[int]
+) -> dict:
+    """Tombstone delete from the positional store (parity with
+    index/merge.delete_docs on the postings side): drop every
+    (term, doc) row of the given docs and commit the result as a new
+    versioned snapshot through the same pointer protocol — phrase and
+    proximity queries over the new snapshot can never resurrect a deleted
+    doc. Implemented as a broadcast anti-join rewrite; at 100 TB this is
+    the rewrite-on-delete path, and bulk deletes should batch doc_ids
+    rather than loop. State files are carried forward."""
+    stored, term_buckets = read_positions(spark, out_dir)
+    tomb = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    kept = stored.select("term", "doc_id", "n_occ", "positions").join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    )
+    inc = read_positions_state(out_dir, "incorporated.json")
+    state = {"incorporated.json": inc} if inc is not None else None
+    write_positions(kept, out_dir, term_buckets=term_buckets, state_files=state)
+    return {"mode": "deleted", "n_tombstones": len(doc_ids)}
+
+
+def _current_snapshot_dir(out_dir: str) -> str:
+    import os
+
+    ptr = os.path.join(out_dir, _POS_CURRENT)
+    with open(ptr) as f:
+        vname = f.read().strip()
+    return os.path.join(out_dir, vname)
+
+
 def read_positions(spark: SparkSession, out_dir: str) -> tuple[DataFrame, int]:
     """(positions DataFrame, term_buckets) of the committed snapshot —
     resolved through the POSITIONS_CURRENT pointer (legacy single-bundle

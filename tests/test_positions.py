@@ -766,6 +766,93 @@ def test_append_positions_incremental_maintenance(spark, tmp_path):
     corpus_a.unpersist(); corpus_b.unpersist()
 
 
+def test_compact_and_delete_positions_store(spark, tmp_path):
+    """Store lifecycle closure (parity with the postings side's
+    compact_segments / delete_docs): hardlink appends grow the file count
+    per batch — compaction must shrink it back without changing any query
+    result or losing committed state; tombstone delete must drop exactly
+    the given docs from phrase/proximity results and keep everything
+    else byte-stable."""
+    import json
+    import os
+
+    from information_retrieval_project_spark.index.positions import (
+        append_positions,
+        compact_positions,
+        delete_positions_docs,
+        proximity_match_indexed,
+        read_positions,
+        read_positions_state,
+        write_positions,
+    )
+
+    out = str(tmp_path / "poslife")
+    batches = [
+        with_doc_id(generate_corpus(spark, n, partitions=2)).filter(
+            F.col("doc_id") % 3 == k
+        )
+        for k, n in enumerate((200, 260, 320))
+    ]
+    write_positions(
+        build_positions(batches[0]),
+        out,
+        state_files={"incorporated.json": json.dumps(["b0"])},
+    )
+    for i, b in enumerate(batches[1:], start=1):
+        append_positions(
+            spark,
+            out,
+            new_docs_corpus=b,
+            state_files={
+                "incorporated.json": json.dumps([f"b{j}" for j in range(i + 1)])
+            },
+        )
+
+    stored, tb = read_positions(spark, out)
+    before_rows = stored.count()
+    prox_before = {
+        (r["doc_id"], r["min_dist"])
+        for r in proximity_match_indexed(
+            spark, stored, "def", "return", 8, tb
+        ).collect()
+    }
+
+    r = compact_positions(spark, out)
+    assert r["files_after"] < r["files_before"], r
+    stored2, tb2 = read_positions(spark, out)
+    assert tb2 == tb and stored2.count() == before_rows
+    prox_after = {
+        (r_["doc_id"], r_["min_dist"])
+        for r_ in proximity_match_indexed(
+            spark, stored2, "def", "return", 8, tb2
+        ).collect()
+    }
+    assert prox_after == prox_before and len(prox_before) > 0
+    # committed state survived the compaction
+    assert json.loads(read_positions_state(out, "incorporated.json")) == [
+        "b0", "b1", "b2",
+    ]
+
+    # tombstone delete: pick docs that currently match, drop them
+    victims = sorted({d for d, _ in prox_before})[:3]
+    dr = delete_positions_docs(spark, out, victims)
+    assert dr["n_tombstones"] == 3
+    stored3, tb3 = read_positions(spark, out)
+    assert stored3.filter(F.col("doc_id").isin(victims)).count() == 0
+    prox_del = {
+        (r_["doc_id"], r_["min_dist"])
+        for r_ in proximity_match_indexed(
+            spark, stored3, "def", "return", 8, tb3
+        ).collect()
+    }
+    assert prox_del == {
+        (d, m) for d, m in prox_before if d not in victims
+    }
+    assert json.loads(read_positions_state(out, "incorporated.json")) == [
+        "b0", "b1", "b2",
+    ]
+
+
 def test_min_dist_sorted_property():
     """Hypothesis: the sorted-merge min-distance kernel equals the
     brute-force all-pairs minimum on arbitrary sorted int lists."""
