@@ -2279,6 +2279,70 @@ SQL_BM25_TOPK_BATCH = f"""
     WHERE rank <= 5
 """
 
+# served-batch variant: ranks on ROUNDED scores (the compressed decode
+# path's float summation order differs from the corpus-side chain, so both
+# sides must tie on the rounded value — same rule as every served gate)
+SQL_BM25_TOPK_BATCH_SERVED = SQL_BM25_TOPK_BATCH.replace(
+    """    SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           round(score, 5) AS score
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5""",
+    """    SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+    FROM (
+        SELECT query_id, doc_id, round(score, 5) AS score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(score, 5) DESC, doc_id ASC
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5""",
+)
+assert SQL_BM25_TOPK_BATCH_SERVED != SQL_BM25_TOPK_BATCH
+
+
+def q_bm25_topk_batch_served(spark, sf_dir):
+    """The SAME 3-query batch as bm25_topk_batch, served from the stored
+    compressed index (queryexec/wand.bm25_topk_batch_compressed): one
+    bucket-pruned scan + one decode for the union of query terms serves
+    every query in the batch — the evaluation-workload shape at scale.
+    Oracle = the corpus-side batch SQL with round-before-rank."""
+    from .index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+        tokenize_tf,
+    )
+    from .queryexec.wand import bm25_topk_batch_compressed
+
+    tf = tokenize_tf(_docs_as_corpus(spark, sf_dir))
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(hot_df_threshold=50, docs_per_salt=200, hot_detection_sample=1.0),
+    )
+    out = bm25_topk_batch_compressed(
+        spark,
+        idx,
+        ds,
+        cs["n_docs"],
+        cs["avgdl"],
+        BATCH_QUERIES,
+        k=5,
+        round_scores=5,
+    )
+    out = out.localCheckpoint(eager=True)
+    ds.unpersist()
+    return out
+
 PHRASE = ("table", "hash")
 
 
@@ -2862,6 +2926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
     "bm25_page3": q_bm25_page3,
     "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
+    "bm25_topk_batch_served": q_bm25_topk_batch_served,
     # moved up from the tail: its DEFAULT path changed this round (two-phase
     # block-max pruning) — the driver must hash the NEW path, not rely on
     # r03/r04 evidence of the old exhaustive decode
@@ -2994,6 +3059,7 @@ ORACLE_SQL: dict[str, str] = {
     # corpus-side oracles prove the compositions rank-identical
     "bm25_proximity_topk_served": SQL_BM25_PROXIMITY_TOPK,
     "bm25_topk_faceted_served": SQL_BM25_TOPK_FACETED,
+    "bm25_topk_batch_served": SQL_BM25_TOPK_BATCH_SERVED,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,

@@ -568,6 +568,77 @@ def bm25_phrase_topk_compressed(
     )
 
 
+def bm25_topk_batch_compressed(
+    spark: SparkSession,
+    index_df: DataFrame,
+    doc_stats_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    term_buckets: int = 32,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Whole-query-SET serving from the stored compressed index →
+    (query_id, rank, doc_id, score): ONE bucket-pruned index scan and ONE
+    decode for the UNION of all queries' terms, contributions joined to
+    the broadcast (query_id, term) relation, aggregated per
+    (query_id, doc_id), ranked per query_id. The index-served sibling of
+    queryexec/bm25.bm25_topk_batch — |Q| separate queries would decode
+    shared hot terms |Q| times; the batch decodes each term once. df/idf
+    are the stored TERM-TOTAL values, identical for every query in the
+    batch. round_scores: round BEFORE ranking (the decode path's float
+    summation order differs from the corpus-side oracle's, so ranking must
+    tie on the rounded value both sides)."""
+    from pyspark.sql import Window
+
+    from ..index.bucketing import prune_terms
+
+    union_terms = sorted({t for toks in queries.values() for t in toks})
+    rows = prune_terms(index_df, union_terms, term_buckets)
+    idf = rows.select("term", "df").distinct().select(
+        "term",
+        F.log(
+            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    pairs = sorted(
+        {(qid, t) for qid, toks in queries.items() for t in set(toks)}
+    )
+    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    cand = decode_candidates(rows)
+    scored = (
+        cand.join(F.broadcast(idf), "term")
+        .join(doc_stats_df, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.select(
+            "query_id", "doc_id", F.round("score", round_scores).alias("score")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_proximity_topk_compressed(
     spark: SparkSession,
     index_df: DataFrame,
