@@ -2206,6 +2206,62 @@ SQL_NATION_VOLUME = """
 """
 
 
+FUZZY_QTERM = "hast"    # one edit from BOTH 'hash' and 'fast'
+FUZZY_DIST = 1
+PREFIX_Q = "s"          # scan / sort / slow / stream / spark / small
+
+
+def q_fuzzy_term_docs(spark, sf_dir):
+    """Fuzzy term query (Lucene FuzzyQuery shape; queryexec/lexical.py):
+    dictionary terms within FUZZY_DIST edits of the typo'd FUZZY_QTERM,
+    each with its document frequency — the 'did you mean' expansion set.
+    The engine applies the lossless length prefilter before levenshtein;
+    the oracle applies NO prefilter, so the driver hash proves the
+    prefilter drops nothing."""
+    from .queryexec.lexical import fuzzy_terms
+
+    tf = _tf(spark, sf_dir)
+    matched = fuzzy_terms(
+        tf.select("term").distinct(), FUZZY_QTERM, FUZZY_DIST
+    )
+    return (
+        tf.join(F.broadcast(matched), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_FUZZY_TERM_DOCS = f"""
+    WITH tf AS ({_TF_SQL}),
+    dict AS (SELECT DISTINCT term FROM tf),
+    matched AS (
+        SELECT term FROM dict
+        WHERE levenshtein(term, '{FUZZY_QTERM}') <= {FUZZY_DIST}
+    )
+    SELECT tf.term AS term, count(*) AS n_docs
+    FROM tf JOIN matched USING (term)
+    GROUP BY tf.term
+"""
+
+
+def q_prefix_match_docs(spark, sf_dir):
+    """Prefix/wildcard term query (Lucene PrefixQuery shape): distinct
+    docs containing ANY dictionary term starting with PREFIX_Q — matched
+    variants resolved against the (small) term dictionary first, then one
+    broadcast equi-join into the postings relation (queryexec/lexical.py)."""
+    from .queryexec.lexical import docs_matching_terms, prefix_terms
+
+    tf = _tf(spark, sf_dir)
+    matched = prefix_terms(tf.select("term").distinct(), PREFIX_Q)
+    return docs_matching_terms(tf, matched)
+
+
+SQL_PREFIX_MATCH_DOCS = f"""
+    SELECT DISTINCT doc_id FROM ({_TF_SQL})
+    WHERE term LIKE '{PREFIX_Q}%'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2927,6 +2983,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_page3": q_bm25_page3,
     "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
     "bm25_topk_batch_served": q_bm25_topk_batch_served,
+    "fuzzy_term_docs": q_fuzzy_term_docs,
+    "prefix_match_docs": q_prefix_match_docs,
     # moved up from the tail: its DEFAULT path changed this round (two-phase
     # block-max pruning) — the driver must hash the NEW path, not rely on
     # r03/r04 evidence of the old exhaustive decode
@@ -3060,6 +3118,8 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_proximity_topk_served": SQL_BM25_PROXIMITY_TOPK,
     "bm25_topk_faceted_served": SQL_BM25_TOPK_FACETED,
     "bm25_topk_batch_served": SQL_BM25_TOPK_BATCH_SERVED,
+    "fuzzy_term_docs": SQL_FUZZY_TERM_DOCS,
+    "prefix_match_docs": SQL_PREFIX_MATCH_DOCS,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
