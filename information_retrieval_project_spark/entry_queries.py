@@ -2206,6 +2206,57 @@ SQL_NATION_VOLUME = """
 """
 
 
+def q_ql_dirichlet_topk(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty; queryexec/qlm.py) — the LM-based ranker beside BM25, over
+    the same query: score = Σ_t log((tf + μ·P(t|C)) / (dl + μ)), μ=300,
+    candidate-restricted to docs matching ≥1 in-collection query term.
+    Ranks on 5-decimal-rounded scores on both sides (summation order
+    differs engine vs oracle)."""
+    from .queryexec.qlm import ql_dirichlet_topk
+
+    tf = _tf(spark, sf_dir).persist()
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    out = ql_dirichlet_topk(
+        spark, tf, ds, BM25_QUERY, k=10, round_scores=5
+    )
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+_QL_TLIST = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))
+
+SQL_QL_DIRICHLET_TOPK = f"""
+    WITH tf AS ({_TF_SQL}),
+    ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    totals AS (SELECT sum(tf) AS coll_total FROM tf),
+    qterms(term) AS (VALUES {_QL_TLIST}),
+    cf AS (
+        SELECT term,
+               300.0 * sum(tf) / (SELECT coll_total FROM totals) AS mu_p
+        FROM tf JOIN qterms USING (term) GROUP BY term
+    ),
+    const AS (SELECT sum(ln(mu_p)) AS base, count(*) AS n_q FROM cf),
+    matched AS (
+        SELECT tf.doc_id,
+               sum(ln(tf.tf + cf.mu_p) - ln(cf.mu_p)) AS match_sum
+        FROM tf JOIN cf USING (term) GROUP BY tf.doc_id
+    ),
+    scored AS (
+        SELECT m.doc_id,
+               round(
+                   const.base + m.match_sum
+                   - const.n_q * ln(ds.doc_len + 300.0), 5
+               ) AS score
+        FROM matched m JOIN ds USING (doc_id) CROSS JOIN const
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 FUZZY_QTERM = "hast"    # one edit from BOTH 'hash' and 'fast'
 FUZZY_DIST = 1
 PREFIX_Q = "s"          # scan / sort / slow / stream / spark / small
@@ -2985,6 +3036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_batch_served": q_bm25_topk_batch_served,
     "fuzzy_term_docs": q_fuzzy_term_docs,
     "prefix_match_docs": q_prefix_match_docs,
+    "ql_dirichlet_topk": q_ql_dirichlet_topk,
     # moved up from the tail: its DEFAULT path changed this round (two-phase
     # block-max pruning) — the driver must hash the NEW path, not rely on
     # r03/r04 evidence of the old exhaustive decode
@@ -3120,6 +3172,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_batch_served": SQL_BM25_TOPK_BATCH_SERVED,
     "fuzzy_term_docs": SQL_FUZZY_TERM_DOCS,
     "prefix_match_docs": SQL_PREFIX_MATCH_DOCS,
+    "ql_dirichlet_topk": SQL_QL_DIRICHLET_TOPK,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
