@@ -2227,7 +2227,9 @@ def q_ql_dirichlet_topk(spark, sf_dir):
 
 _QL_TLIST = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))
 
-SQL_QL_DIRICHLET_TOPK = f"""
+# (doc_id, score) of the QL-Dirichlet ranking as a parenthesized
+# subquery — standalone for the ql gate, embeddable for the RRF fusion
+_QL_SCORED_SQL = f"""(
     WITH tf AS ({_TF_SQL}),
     ds AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
     totals AS (SELECT sum(tf) AS coll_total FROM tf),
@@ -2242,18 +2244,96 @@ SQL_QL_DIRICHLET_TOPK = f"""
         SELECT tf.doc_id,
                sum(ln(tf.tf + cf.mu_p) - ln(cf.mu_p)) AS match_sum
         FROM tf JOIN cf USING (term) GROUP BY tf.doc_id
+    )
+    SELECT m.doc_id,
+           round(
+               const.base + m.match_sum
+               - const.n_q * ln(ds.doc_len + 300.0), 5
+           ) AS score
+    FROM matched m JOIN ds USING (doc_id) CROSS JOIN const
+)"""
+
+SQL_QL_DIRICHLET_TOPK = f"""
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM {_QL_SCORED_SQL}
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+RRF_K = 60       # the canonical reciprocal-rank-fusion constant
+RRF_DEPTH = 50   # fuse the top-RRF_DEPTH of each ranking
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Reciprocal rank fusion (Cormack et al. 2009 — the standard way
+    engines combine rankers, e.g. lexical + neural hybrid search) of the
+    BM25 and query-likelihood rankings for the same query:
+    fused(d) = Σ_r 1/(RRF_K + rank_r(d)) over the two top-RRF_DEPTH lists,
+    a list not containing d contributing 0. Rank-based, so no score
+    calibration between rankers is needed; fusing bounded top-N lists is
+    both the standard practice and the scale-safe shape (the full-ranking
+    row_number would serialize through one partition). Tie-break doc_id
+    ASC; the fused score is a sum of two exact reciprocals — identical
+    float math on both sides, rounded to 9 decimals for rank stability."""
+    from .queryexec.qlm import ql_dirichlet_topk
+
+    b_top = _rank_limit(
+        _bm25_scores(spark, sf_dir, BM25_QUERY).select(
+            "doc_id", F.round("score", 5).alias("score")
+        ),
+        RRF_DEPTH,
+    ).select("doc_id", F.col("rank").alias("b_rank"))
+    tf = _tf(spark, sf_dir).persist()
+    ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    q_top = ql_dirichlet_topk(
+        spark, tf, ds, BM25_QUERY, k=RRF_DEPTH, round_scores=5
+    ).select("doc_id", F.col("rank").alias("q_rank"))
+    fused = (
+        b_top.join(q_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("b_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("q_rank")), F.lit(0.0)
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+    out = _rank_limit(fused, 10)
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+SQL_HYBRID_RRF_TOPK = f"""
+    WITH bm25_scored AS ({_bm25_sql(BM25_QUERY, with_topk=False)}),
+    b_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS b_rank
+        FROM bm25_scored
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH}
     ),
-    scored AS (
-        SELECT m.doc_id,
+    ql AS (SELECT * FROM {_QL_SCORED_SQL}),
+    q_top AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS q_rank
+        FROM ql
+        ORDER BY score DESC, doc_id ASC LIMIT {RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
                round(
-                   const.base + m.match_sum
-                   - const.n_q * ln(ds.doc_len + 300.0), 5
+                   COALESCE(1.0 / ({RRF_K} + b.b_rank), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + q.q_rank), 0.0), 9
                ) AS score
-        FROM matched m JOIN ds USING (doc_id) CROSS JOIN const
+        FROM b_top b FULL OUTER JOIN q_top q ON b.doc_id = q.doc_id
     )
     SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
            doc_id, score
-    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    FROM fused ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -3037,6 +3117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_term_docs": q_fuzzy_term_docs,
     "prefix_match_docs": q_prefix_match_docs,
     "ql_dirichlet_topk": q_ql_dirichlet_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     # moved up from the tail: its DEFAULT path changed this round (two-phase
     # block-max pruning) — the driver must hash the NEW path, not rely on
     # r03/r04 evidence of the old exhaustive decode
@@ -3173,6 +3254,7 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_term_docs": SQL_FUZZY_TERM_DOCS,
     "prefix_match_docs": SQL_PREFIX_MATCH_DOCS,
     "ql_dirichlet_topk": SQL_QL_DIRICHLET_TOPK,
+    "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
