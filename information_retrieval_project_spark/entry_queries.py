@@ -2261,6 +2261,43 @@ SQL_QL_DIRICHLET_TOPK = f"""
 """
 
 
+def q_bm25_boosted_topk(spark, sf_dir):
+    """Function-score ranking (Elasticsearch function_score /
+    field-value-factor shape): BM25 multiplied by a deterministic
+    metadata factor — score' = bm25 · (1 + ln(1 + n_chars)/10) — the
+    standard way engines fold document-level signals (length, recency,
+    popularity) into relevance. One broadcast-free doc_id equi-join pulls
+    the factor column only (projection pruned to doc_id + n_chars);
+    ranking ties on the 5-decimal-rounded boosted value on both sides."""
+    scores = _bm25_scores(spark, sf_dir, BM25_QUERY)
+    meta = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    boosted = scores.join(meta, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score")
+            * (1.0 + F.log(1.0 + F.col("n_chars")) / 10.0),
+            5,
+        ).alias("score"),
+    )
+    return _rank_limit(boosted, 10)
+
+
+SQL_BM25_BOOSTED_TOPK = f"""
+    {_bm25_sql_body(BM25_QUERY)},
+    boosted AS (
+        -- boost multiplies the UNROUNDED bm25 (scored CTE), one final
+        -- round — the same float pipeline as the engine
+        SELECT s.doc_id,
+               round(s.score * (1.0 + ln(1.0 + d.n_chars) / 10.0), 5)
+                   AS score
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score
+    FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 RRF_K = 60       # the canonical reciprocal-rank-fusion constant
 RRF_DEPTH = 50   # fuse the top-RRF_DEPTH of each ranking
 
@@ -3118,6 +3155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_match_docs": q_prefix_match_docs,
     "ql_dirichlet_topk": q_ql_dirichlet_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "bm25_boosted_topk": q_bm25_boosted_topk,
     # moved up from the tail: its DEFAULT path changed this round (two-phase
     # block-max pruning) — the driver must hash the NEW path, not rely on
     # r03/r04 evidence of the old exhaustive decode
@@ -3255,6 +3293,7 @@ ORACLE_SQL: dict[str, str] = {
     "prefix_match_docs": SQL_PREFIX_MATCH_DOCS,
     "ql_dirichlet_topk": SQL_QL_DIRICHLET_TOPK,
     "hybrid_rrf_topk": SQL_HYBRID_RRF_TOPK,
+    "bm25_boosted_topk": SQL_BM25_BOOSTED_TOPK,
     "prf_bm25_topk": SQL_PRF_BM25_TOPK,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_topk_faceted": SQL_BM25_TOPK_FACETED,
