@@ -406,7 +406,6 @@ def compact_positions(spark: SparkSession, out_dir: str) -> dict:
     volume, dominates scan planning; compaction is the positional
     counterpart of index/merge.compact_segments. Readers pinned to the
     old snapshot keep their files (one-write retention)."""
-    import json as _json
     import os
 
     stored, term_buckets = read_positions(spark, out_dir)
