@@ -482,20 +482,21 @@ def q_minhash_band_pairs_fast(spark, sf_dir):
     """ENGINE-NATIVE LSH banding (VERDICT r4 #5: the oracled gate's
     md5-per-hash signatures are its measured cost — md5 is the
     oracle-parity choice, not the engine one): same distinct-3-shingle
-    corpus relation, but signatures + band keys via seeded xxhash64
-    (dedup.minhash_signatures / minhash_lsh_pairs — one 64-bit JVM hash
-    per (shingle, seed) instead of an md5 hex string), same 4x4 banding
-    and the same 1000-member bucket cap. Different permutation proxy ⇒ a
-    different (equally valid) candidate-pair sample at the same Jaccard
-    threshold, so there is no SQL oracle (DuckDB has no xxhash64) — the
-    driver records rows-only; pytest asserts exact-duplicate recall
-    matches the md5 form. bench.py records BOTH timings."""
+    corpus relation, same 8-hash (_N_HASHES) signature at the SAME 4-band x
+    2-row banding and the same 1000-member bucket cap as the md5 gate —
+    so the recorded timing delta measures exactly the hash-function swap
+    (one 64-bit JVM xxhash64 per (shingle, seed) vs an md5 hex string),
+    not a different LSH operating point. Different permutation proxy ⇒ a
+    different (equally valid) candidate-pair sample at the same threshold,
+    so there is no SQL oracle (DuckDB has no xxhash64) — the driver
+    records rows-only; pytest asserts exact-duplicate recall matches the
+    md5 form. bench.py records BOTH timings."""
     from .dedup.dedup import minhash_lsh_pairs, minhash_signatures
 
     sh = _shingles(spark, sf_dir)
-    sig = minhash_signatures(sh, n_hashes=16)
+    sig = minhash_signatures(sh, n_hashes=_N_HASHES)
     return minhash_lsh_pairs(
-        sig, n_bands=4, rows_per_band=4, max_bucket=1000
+        sig, n_bands=4, rows_per_band=2, max_bucket=1000
     ).orderBy("doc_a", "doc_b")
 
 
@@ -2315,13 +2316,16 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     float math on both sides, rounded to 9 decimals for rank stability."""
     from .queryexec.qlm import ql_dirichlet_topk
 
-    b_top = _rank_limit(
-        _bm25_scores(spark, sf_dir, BM25_QUERY).select(
-            "doc_id", F.round("score", 5).alias("score")
-        ),
-        RRF_DEPTH,
-    ).select("doc_id", F.col("rank").alias("b_rank"))
+    # ONE tokenize pass feeds BOTH rankers: plain BM25 via the shared
+    # weighted scorer at weight 1.0 (identical values to _bm25_scores —
+    # both round the same sum to 5 decimals), QL via its tf_df parameter
     tf = _tf(spark, sf_dir).persist()
+    w1 = spark.createDataFrame(
+        [(t, 1.0) for t in sorted(set(BM25_QUERY))], "term string, w double"
+    )
+    b_top = _rank_limit(
+        _bm25_scores_weighted(tf, w1), RRF_DEPTH
+    ).select("doc_id", F.col("rank").alias("b_rank"))
     ds = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     q_top = ql_dirichlet_topk(
         spark, tf, ds, BM25_QUERY, k=RRF_DEPTH, round_scores=5

@@ -357,6 +357,18 @@ def append_positions(
 
     ptr = os.path.join(out_dir, _POS_CURRENT)
     if not os.path.exists(ptr):
+        if os.path.isdir(os.path.join(out_dir, "positions_bundle")):
+            # legacy single-bundle store: treating it as a fresh start
+            # would write an initial snapshot containing ONLY the delta
+            # and orphan every previously indexed document (the next
+            # commit then GC's the bundle permanently). Same refusal as
+            # incremental_index_update's legacy-layout guard.
+            raise RuntimeError(
+                f"{out_dir} uses the legacy positions_bundle layout; "
+                "migrate it first with write_positions(read_positions(...)"
+                ") before appending — appending now would silently drop "
+                "all existing documents"
+            )
         delta = (
             delta_positions
             if delta_positions is not None

@@ -51,7 +51,10 @@ def facet_counts(
         return "`" + c.replace("`", "``") + "`"
 
     def _label(c: str) -> str:
-        return "'" + c.replace("'", "\\'") + "'"
+        # backslashes first (Spark SQL string literals are escape-aware):
+        # a name ending in a bare backslash would otherwise swallow the
+        # closing quote
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     stack_expr = "stack({n}, {args}) as (facet, value)".format(
         n=len(facet_cols),

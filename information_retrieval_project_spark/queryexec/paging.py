@@ -78,11 +78,16 @@ def cursor_of(page: DataFrame, page_size: int) -> DataFrame:
     LAST row's (score, doc_id). Lazy — chain pages without collecting.
     A short page (fewer than page_size rows — the ranking is exhausted)
     yields an EMPTY cursor; feeding it to page_after_df correctly returns
-    an empty next page (crossJoin with an empty relation)."""
-    last_rank = page.agg(F.max("rank").alias("_mr"))
+    an empty next page (crossJoin with an empty relation). Fullness is
+    detected by ROW COUNT, not rank arithmetic — ranks carry an arbitrary
+    caller-chosen rank_offset, so divisibility tests on them would end
+    pagination early for offsets that aren't page_size multiples."""
+    last = page.agg(
+        F.max("rank").alias("_mr"), F.count("*").alias("_n")
+    )
     return (
-        page.join(F.broadcast(last_rank), F.col("rank") == F.col("_mr"))
-        .filter(F.col("rank") % page_size == 0)
+        page.join(F.broadcast(last), F.col("rank") == F.col("_mr"))
+        .filter(F.col("_n") == page_size)
         .select(
             F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc")
         )

@@ -282,17 +282,26 @@ def blockmax_prune_info(
     driver-hashed bm25_topk_compressed gate runs this path).
 
     Returns None when the sample certifies fewer than k docs — tiny
-    collections, where exhaustive decode is already cheap. Cost: one
-    1-row doc_stats aggregate, one bounded sample-scoring job (n_blocks *
-    BLOCK rows per index row), one tiny per-term meta collect."""
-    row = doc_stats_df.agg(
-        F.min("doc_len").alias("mn"), F.count("*").alias("n")
-    ).collect()[0]
-    if row["mn"] is None:
+    collections, where exhaustive decode is already cheap. Cost: TWO
+    driver actions (every fixed job round-trip is ~0.5-1 s of serial
+    share): the per-term meta aggregate crossJoined with the 1-row
+    doc_stats bounds collects in one job, and the bounded sample-scoring
+    top-k (n_blocks * BLOCK rows per index row) is the other."""
+    # per-term (df, max max_tf) × global dl_min — ONE fused collect (the
+    # dl bound repeats on each of the few term rows; that's free)
+    meta = (
+        index_rows.groupBy("term")
+        .agg(F.first("df").alias("df"), F.max("max_tf").alias("mt"))
+        .crossJoin(
+            F.broadcast(doc_stats_df.agg(F.min("doc_len").alias("mn")))
+        )
+        .collect()
+    )
+    if not meta or meta[0]["mn"] is None:
         return None
-    dl_min = float(row["mn"])
+    dl_min = float(meta[0]["mn"])
 
-    nb = max(1, -(-2 * k) // BLOCK + 1)  # ceil(2k/BLOCK)+1 blocks per row
+    nb = max(1, -(-2 * k // BLOCK) + 1)  # ceil(2k/BLOCK)+1 blocks per row
     sample = decode_top_blocks(index_rows, nb)
     top = (
         _score_decoded(
@@ -306,12 +315,6 @@ def blockmax_prune_info(
         return None
     theta = float(top[-1]["score"])
 
-    # per-term global single-term upper bound at dl_min — native agg, tiny
-    meta = (
-        index_rows.groupBy("term")
-        .agg(F.first("df").alias("df"), F.max("max_tf").alias("mt"))
-        .collect()
-    )
     ub_global = {}
     for r in meta:
         mt = float(r["mt"])

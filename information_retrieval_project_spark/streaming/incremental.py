@@ -298,24 +298,28 @@ def incremental_corpus_update(
         # don't each re-tokenize
         corpus = with_doc_id(spark.read.parquet(*new_idx))
         fused = tokenize_tf_positions(corpus).persist()
-        tf_delta = fused.select("doc_id", "term", "tf")
-        pos_delta = fused.select(
-            "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
-        )
-        names = {os.path.basename(f) for f in new_idx}
-        out["index"] = _apply_index_delta(
-            spark, tf_delta, idx_dir, cur, inc_idx | names, len(new_idx),
-            cfg, retain,
-        )
-        out["positions"] = append_positions(
-            spark,
-            pos_dir,
-            delta_positions=pos_delta,
-            state_files={
-                "incorporated.json": json.dumps(sorted(inc_pos | names))
-            },
-        )
-        fused.unpersist()
+        try:
+            tf_delta = fused.select("doc_id", "term", "tf")
+            pos_delta = fused.select(
+                "term", "doc_id", F.col("tf").alias("n_occ"), "positions"
+            )
+            names = {os.path.basename(f) for f in new_idx}
+            out["index"] = _apply_index_delta(
+                spark, tf_delta, idx_dir, cur, inc_idx | names,
+                len(new_idx), cfg, retain,
+            )
+            out["positions"] = append_positions(
+                spark,
+                pos_dir,
+                delta_positions=pos_delta,
+                state_files={
+                    "incorporated.json": json.dumps(sorted(inc_pos | names))
+                },
+            )
+        finally:
+            # a failure between the two commits must not leave the full
+            # tokenized corpus cached for the session lifetime
+            fused.unpersist()
         out["mode"] = "fused"
         return out
     # catch-up path (after a crash between the two commits): each lagging

@@ -97,3 +97,17 @@ def test_exhausted_ranking_yields_empty_page(spark):
     # p2 is short (1 < 2): its cursor is empty, page 3 must be empty
     p3 = page_after_df(scores, 2, cursor_of(p2, 2), rank_offset=4)
     assert p3.count() == 0
+
+
+def test_cursor_of_full_page_with_arbitrary_rank_offset(spark):
+    """A FULL page must yield a usable cursor regardless of the caller's
+    rank_offset (fullness is a row-count property; rank arithmetic would
+    end pagination early for offsets that aren't page_size multiples)."""
+    scores = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(6)], "doc_id long, score double"
+    )
+    p1 = page_after_df(scores, 2, rank_offset=7)  # full page, ranks 8..9
+    c1 = cursor_of(p1, 2)
+    assert c1.count() == 1
+    p2 = page_after_df(scores, 2, c1, rank_offset=9)
+    assert [r["doc_id"] for r in p2.orderBy("rank").collect()] == [2, 3]

@@ -416,19 +416,23 @@ def test_facet_counts_quoted_identifiers_and_validation(spark):
     )
 
     meta = spark.createDataFrame(
-        [(1, "en", "a"), (2, "en", "b"), (3, "de", "a")],
-        ["doc_id", "lang name", "select"],  # hostile identifiers
+        [(1, "en", "a", "x"), (2, "en", "b", "y"), (3, "de", "a", "x")],
+        ["doc_id", "lang name", "select", "back\\slash"],  # hostile names
     )
     match = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     got = {
         (r["facet"], r["value"]): r["n_docs"]
-        for r in facet_counts(match, meta, ["lang name", "select"]).collect()
+        for r in facet_counts(
+            match, meta, ["lang name", "select", "back\\slash"]
+        ).collect()
     }
     assert got == {
         ("lang name", "en"): 2,
         ("lang name", "de"): 1,
         ("select", "a"): 2,
         ("select", "b"): 1,
+        ("back\\slash", "x"): 2,
+        ("back\\slash", "y"): 1,
     }
 
     with pytest.raises(ValueError, match="not in docs_meta"):
@@ -440,8 +444,8 @@ def test_minhash_fast_variant_recalls_exact_duplicates(spark):
     oracle (DuckDB lacks xxhash64), so pin its semantics here: documents
     with IDENTICAL shingle sets minhash identically under ANY hash family,
     so planted exact-duplicate pairs must be recalled by BOTH the md5
-    (oracle-parity) and xxhash64 signature pipelines, under the same 4x4
-    banding + bucket cap."""
+    (oracle-parity) and xxhash64 signature pipelines, under the gate's
+    shared 8-hash 4-band x 2-row configuration + bucket cap."""
     import random
 
     from information_retrieval_project_spark.dedup.dedup import (
@@ -471,21 +475,21 @@ def test_minhash_fast_variant_recalls_exact_duplicates(spark):
     fast = {
         (r["doc_a"], r["doc_b"])
         for r in minhash_lsh_pairs(
-            minhash_signatures(sh, n_hashes=16),
+            minhash_signatures(sh, n_hashes=8),
             n_bands=4,
-            rows_per_band=4,
+            rows_per_band=2,
             max_bucket=1000,
         ).collect()
     }
     # md5 oracle-parity path (the q_minhash_band_pairs pipeline)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(16)
+        for i in range(8)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     bands = None
     for bidx in range(4):
-        bcols = [F.col(f"h{4 * bidx + r}") for r in range(4)]
+        bcols = [F.col(f"h{2 * bidx + r}") for r in range(2)]
         bdf = sig.select(
             "doc_id", F.lit(bidx).alias("band"), F.concat(*bcols).alias("key")
         )

@@ -919,3 +919,35 @@ def test_write_positions_gcs_legacy_bundle(spark, tmp_path):
     _, tb3 = read_positions(spark, out)
     assert tb3 == 8
     assert not os.path.exists(legacy)  # GC'd on the second pointer commit
+
+
+def test_append_positions_refuses_legacy_bundle_store(spark, tmp_path):
+    """Appending to a pre-pointer single-bundle store must REFUSE loudly:
+    the no-pointer branch would otherwise commit an initial snapshot
+    holding only the delta and orphan every legacy document."""
+    import os
+
+    import pytest
+
+    from information_retrieval_project_spark.index.positions import (
+        append_positions,
+        read_positions,
+    )
+
+    out = str(tmp_path / "legacy_append")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, content string")
+    idx = build_positions(docs)
+    legacy = os.path.join(out, "positions_bundle")
+    os.makedirs(os.path.join(legacy, "data"))
+    idx.withColumn("term_bucket", F.lit(0)).write.parquet(
+        os.path.join(legacy, "data"), mode="overwrite"
+    )
+    spark.createDataFrame([(4,)], "term_buckets int").coalesce(1).write.json(
+        os.path.join(legacy, "meta"), mode="overwrite"
+    )
+    more = spark.createDataFrame([(2, "c d")], "doc_id long, content string")
+    with pytest.raises(RuntimeError, match="legacy positions_bundle"):
+        append_positions(spark, out, new_docs_corpus=more)
+    # the legacy store is untouched and still served
+    stored, tb = read_positions(spark, out)
+    assert tb == 4 and stored.count() == 3
