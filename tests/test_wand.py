@@ -223,3 +223,67 @@ def test_blockmax_candidate_generation_prunes_stopword_postings(spark):
     # <= rare's postings + a handful of surviving common blocks
     assert n_kept < 0.5 * n_all, (n_kept, n_all)
     tf.unpersist(); ds.unpersist(); idx.unpersist()
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_blockmax_pruned_equals_exhaustive_randomized(spark, seed):
+    """Adversarial property coverage for the exactness claim: random
+    corpora (negative doc_ids, skewed dfs, random tf ranges, segmentation
+    on and off, random k incl. k larger than some posting lists) must give
+    IDENTICAL top-k rows and scores with and without block-max pruning —
+    both unrounded and in the gate's rounded-rank mode."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    rng = random.Random(seed)
+    n_docs = rng.randint(300, 1500)
+    n_terms = rng.randint(5, 25)
+    terms = [f"t{i}" for i in range(n_terms)]
+    # skewed dfs: term i appears in docs with prob ~ 1/(i+1)
+    rows = []
+    for d in range(n_docs):
+        doc_id = d * 13 - 7000  # includes negatives, sparse ids
+        for i, t in enumerate(terms):
+            if rng.random() < 1.0 / (i + 1):
+                rows.append((doc_id, t, rng.randint(1, 30)))
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    segmented = seed % 2 == 1
+    idx = build_postings(
+        tf,
+        BuildConfig(
+            hot_df_threshold=rng.randint(50, 400),
+            docs_per_salt=rng.randint(100, 500),
+            hot_detection_sample=1.0,
+            segment_hot_terms=segmented,
+        ),
+    ).cache()
+    query = rng.sample(terms, rng.randint(1, min(5, n_terms)))
+    for k in (1, rng.randint(2, 40)):
+        for rs in (None, 5):
+            pruned = bm25_topk_compressed(
+                spark, idx, ds, cs["n_docs"], cs["avgdl"], query,
+                k=k, round_scores=rs, blockmax=True,
+            ).collect()
+            exhaustive = bm25_topk_compressed(
+                spark, idx, ds, cs["n_docs"], cs["avgdl"], query,
+                k=k, round_scores=rs, blockmax=False,
+            ).collect()
+            assert [(r["rank"], r["doc_id"]) for r in pruned] == [
+                (r["rank"], r["doc_id"]) for r in exhaustive
+            ], (seed, k, rs, segmented)
+            for a, b in zip(pruned, exhaustive):
+                assert abs(a["score"] - b["score"]) < 1e-9
+    ds.unpersist(); idx.unpersist()
