@@ -113,15 +113,28 @@ def minhash_lsh_pairs(
     collide everywhere. At 100 TB ALWAYS set it (one hot bucket of size d
     fans out d²/2 join rows); measure what it drops with
     bucket_cap_stats(bands, ["band", "key"], max_bucket)."""
-    bands = None
-    for bidx in range(n_bands):
-        cols = [F.col(f"h{bidx * rows_per_band + r}") for r in range(rows_per_band)]
-        b = sig.select(
-            "doc_id",
-            F.lit(bidx).alias("band"),
-            F.xxhash64(*cols).alias("key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # one scan of sig, bands via in-row explode — the union-of-n_bands form
+    # instantiated the whole signature subtree once per band per join side
+    # (guide §2.4/§3.3); values are identical (same per-band xxhash64 keys)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{bidx * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("key"),
+                    )
+                    for bidx in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
     bands = _maybe_cap(bands, ["band", "key"], max_bucket)
     a, bd = bands.alias("a"), bands.alias("b")
     return (
@@ -246,15 +259,24 @@ def simhash_near_dup_pairs(
     blocks shared by more docs are skipped (skew guard; pairs remain
     reachable via their other 3 blocks). At 100 TB always set it; measure
     what it drops with bucket_cap_stats(blocks, ["blk", "key"], max_bucket)."""
-    blocks = None
-    for blk in range(4):
-        b = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(blk).alias("blk"),
-            F.shiftrightunsigned(F.col("simhash"), blk * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-        )
-        blocks = b if blocks is None else blocks.unionByName(b)
+    # single-scan explode form (same rationale as minhash_lsh_pairs bands)
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), blk * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.blk", "bk.key")
     blocks = _maybe_cap(blocks, ["blk", "key"], max_bucket)
     a, bd = blocks.alias("a"), blocks.alias("b")
     pairs = (

@@ -77,9 +77,18 @@ _POSITIONS_SQL = """
 
 
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
+    """(doc_id, term, tf) via the engine's mapInArrow tokenizer
+    (index/build.tokenize_tf): the (doc_id, term) reduction finishes INSIDE
+    each Arrow batch, so no token-level explode ever reaches a shuffle —
+    measured ~7x faster than the native explode+groupBy form this helper
+    used through r5 (BENCH_NOTES tokenization ladder; guide §4.2). Value
+    parity with the oracle's regexp_split_to_array is the frozen textnorm
+    contract, already driver-hashed through the compressed_term_df gate
+    (tokenize_tf → SQL term_df oracle, green r3/r4) and pinned by
+    tests/test_index_build.py."""
+    from .index.build import tokenize_tf
+
+    return tokenize_tf(_docs_as_corpus(spark, sf_dir))
 
 
 _TF_SQL = f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKENS_SQL}) GROUP BY doc_id, term"
@@ -320,9 +329,21 @@ def q_tfidf_cosine(spark, sf_dir):
         )
     )
     qn = qw.agg(F.sqrt(F.sum(F.col("qw_raw") ** 2)).alias("qn"))
+    # Candidate pruning BEFORE the doc_id join (guide §2.3 "project/filter
+    # before the exchange"): the r5 form joined the FULL weighted matrix w
+    # (every term of every doc) against norm on doc_id and only then
+    # broadcast-filtered to the 3 query terms — the doc_id exchange carried
+    # |tf| rows to keep |tf ∩ query| of them. Filtering tf by the broadcast
+    # query-term relation first shrinks that exchange to the candidate rows;
+    # w_raw for those rows is tf · qw_raw (qw_raw IS the same
+    # ln((1+N)/(1+df))+1 factor, computed from the same dfs join, so the
+    # product is bit-identical to the w-branch expression).
+    cand = (
+        tf.join(F.broadcast(qw.select("term", "qw_raw")), "term")
+        .withColumn("w_raw", F.col("tf") * F.col("qw_raw"))
+    )
     cos = (
-        w.join(norm, "doc_id")
-        .join(F.broadcast(qw.select("term", "qw_raw")), "term")
+        cand.join(norm, "doc_id")
         .crossJoin(F.broadcast(qn))
         .groupBy("doc_id")
         .agg(
@@ -385,18 +406,43 @@ SQL_DEDUP_EXACT = """
 _N_HASHES = 8
 
 
+def _shingle_arrays(spark, sf_dir):
+    """(doc_id, sh: array of the doc's DISTINCT 3-token shingles), computed
+    ENTIRELY in-row (docs with < 3 tokens yield null): tokens stay an array,
+    the 3-gram slide is a native transform over offsets, and per-doc
+    dedup is array_distinct — zero shuffles, where the r5 form paid a
+    posexplode + window sort (partitionBy doc_id) + global DISTINCT
+    exchange before any hashing could start (guide §2.4: remove shuffles
+    outright). Values are identical to the window form: slice offsets
+    1..n-2 are exactly the lead(term,1)/lead(term,2) triples."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9_]+"), lambda x: x != ""
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                    F.element_at(F.col("toks"), i + 2),
+                ),
+            )
+        ),
+    )
+    return d.select("doc_id", sh.alias("sh"))
+
+
 def _shingles(spark, sf_dir):
-    """Distinct 3-token shingles per doc (the MinHash/Jaccard unit — unigram
-    sets degenerate on small vocabularies). Token positions via posexplode —
-    deterministic document order on both engines."""
-    p = _positions(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        p.withColumn("t2", F.lead("term", 1).over(w))
-        .withColumn("t3", F.lead("term", 2).over(w))
-        .filter(F.col("t3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "term", "t2", "t3").alias("shingle"))
-        .distinct()
+    """Distinct 3-token shingles per doc as rows (the MinHash/Jaccard unit —
+    unigram sets degenerate on small vocabularies): explode of the in-row
+    form above (explode drops the null short-doc rows, matching the old
+    lead-is-null filter)."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -409,16 +455,37 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _minhash_sig_arrays(spark, sf_dir, hash_col):
+    """(doc_id, h0..h{n-1}) with NO shuffle at all: each h_i is
+    array_min over the in-row shingle array hashed per element —
+    min-over-group becomes min-over-array because the shingle set never
+    left its document row (guide §2.4). hash_col(shingle_col, i) supplies
+    the per-seed hash expression."""
+    d = _shingle_arrays(spark, sf_dir).filter(F.col("sh").isNotNull())
+
+    def _h(i):
+        # single-argument lambda: a 2-arg callable would make F.transform
+        # pass the ELEMENT INDEX as the second argument
+        return lambda s: hash_col(s, i)
+
+    return d.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("sh"), _h(i))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash over distinct 3-token shingles; hash_i(s) = md5(i || '_' || s),
     min taken lexicographically (md5 hex order is a uniform permutation proxy
-    — identical string semantics in both engines)."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    — identical string semantics in both engines). Since r6 the min runs
+    over the in-row shingle array (array_min of per-element md5) — the md5
+    work is unchanged, the explode + groupBy exchange is gone."""
+    return _minhash_sig_arrays(
+        spark, sf_dir, lambda s, i: F.md5(F.concat(F.lit(f"{i}_"), s))
+    )
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -436,15 +503,29 @@ def q_minhash_band_pairs(spark, sf_dir):
     members are skipped before the self-join (oracle mirrors the HAVING)."""
     from .dedup.dedup import cap_buckets
 
-    sig = q_minhash_signatures(spark, sf_dir)
-    bands = None
-    for bidx in range(4):
-        b = sig.select(
-            "doc_id",
-            F.lit(bidx).alias("band"),
-            F.concat(F.col(f"h{2 * bidx}"), F.col(f"h{2 * bidx + 1}")).alias("key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # The bands relation feeds FOUR plan instantiations (self-join left +
+    # right, each carrying the bucket-cap aggregate) — materialize the
+    # shuffle-free signature computation ONCE (localCheckpoint, the gate
+    # persist-hygiene pattern) so tokenize+shingle+8×md5 runs a single time
+    # instead of once per instantiation (guide §3.3: materialise an
+    # intermediate rather than recompute a duplicated subtree).
+    sig = q_minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bidx).alias("band"),
+                        F.concat(
+                            F.col(f"h{2 * bidx}"), F.col(f"h{2 * bidx + 1}")
+                        ).alias("key"),
+                    )
+                    for bidx in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
     bands = cap_buckets(bands, ["band", "key"], 1000)
     left = bands.alias("a")
     right = bands.alias("b")
@@ -491,10 +572,16 @@ def q_minhash_band_pairs_fast(spark, sf_dir):
     so there is no SQL oracle (DuckDB has no xxhash64) — the driver
     records rows-only; pytest asserts exact-duplicate recall matches the
     md5 form. bench.py records BOTH timings."""
-    from .dedup.dedup import minhash_lsh_pairs, minhash_signatures
+    from .dedup.dedup import minhash_lsh_pairs
 
-    sh = _shingles(spark, sf_dir)
-    sig = minhash_signatures(sh, n_hashes=_N_HASHES)
+    # identical xxhash64(shingle, seed) values, computed as array_min over
+    # the in-row shingle array (no explode/groupBy exchange) and
+    # materialized once for the banding self-join — same restructure as the
+    # md5 gate, so the md5-vs-xxhash64 timing delta stays a pure
+    # hash-function comparison at the identical operating point
+    sig = _minhash_sig_arrays(
+        spark, sf_dir, lambda s, i: F.xxhash64(s, F.lit(i))
+    ).localCheckpoint(eager=True)
     return minhash_lsh_pairs(
         sig, n_bands=4, rows_per_band=2, max_bucket=1000
     ).orderBy("doc_a", "doc_b")
@@ -552,12 +639,22 @@ SQL_NGRAM_JACCARD_PAIRS = f"""
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark, sf_dir):
-    toks = _tokens(spark, sf_dir)
-    return toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.count_distinct("term").alias("n_distinct"),
-        F.round(F.count_distinct("term") / F.count("*"), 6).alias("ttr"),
-        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+    """Per-doc token stats computed from the (doc_id, term, tf) relation
+    instead of the raw occurrence stream: the Arrow tokenizer finishes the
+    per-batch reduction, so the shuffle carries tf triples, not every token
+    occurrence, and the expensive count_distinct over occurrences becomes a
+    plain row count. Every value is EXACT integer arithmetic in doubles
+    (sums of ints and int products < 2^53), so the divisions — ttr =
+    n_distinct/n_tokens, avg_token_len = Σ len·tf / Σ tf — are bit-identical
+    to the occurrence-level count_distinct/avg the r5 form computed."""
+    tf = _tf(spark, sf_dir)
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("tf"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.length("term") * F.col("tf")) / F.sum("tf"), 6
+        ).alias("avg_token_len"),
     )
 
 
