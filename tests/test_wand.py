@@ -287,3 +287,145 @@ def test_blockmax_pruned_equals_exhaustive_randomized(spark, seed):
             for a, b in zip(pruned, exhaustive):
                 assert abs(a["score"] - b["score"]) < 1e-9
     ds.unpersist(); idx.unpersist()
+
+
+def test_fused_blockmax_construction_runs_no_driver_actions(spark, monkeypatch):
+    """The r6 fused default path (VERDICT r5 #1): CONSTRUCTING the served
+    top-k DataFrame must run zero driver actions — phase 1 lives inside the
+    final query as a broadcast subtree (the r5 path collected twice before
+    the serve job even started)."""
+    from pyspark.sql import DataFrame as _DF
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    rows = [(d, t, (d * 7 + len(t)) % 9 + 1) for d in range(300) for t in ("aa", "bb", "cc") if (d + len(t)) % 3]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf, BuildConfig(hot_df_threshold=100, docs_per_salt=100, hot_detection_sample=1.0)
+    ).cache()
+    idx.count()
+
+    calls = []
+    orig = _DF.collect
+    monkeypatch.setattr(_DF, "collect", lambda self: (calls.append(1), orig(self))[1])
+    q = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], ["aa", "bb"], k=5
+    )
+    assert calls == [], "construction must not run driver actions"
+    got = orig(q)
+    monkeypatch.undo()
+    exhaustive = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], ["aa", "bb"], k=5,
+        blockmax=False,
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r["rank"], r["doc_id"]) for r in exhaustive
+    ]
+    ds.unpersist(); idx.unpersist()
+
+
+def test_fused_blockmax_plan_single_decode_no_semijoin(spark):
+    """Plan shape of the r6 default serve (VERDICT r5 #2): exactly TWO
+    Python stages in the whole tree — the block-metadata theta pass and the
+    ONE posting decode — and no semi-join of the decoded volume (the r5
+    path decoded twice and semi-joined the full stream against an unhinted
+    survivor set)."""
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_compressed,
+    )
+
+    rows = [(d, t, d % 5 + 1) for d in range(200) for t in ("aa", "bb")]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    ds = doc_stats(tf)
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf, BuildConfig(hot_df_threshold=1000, docs_per_salt=1000, hot_detection_sample=1.0)
+    ).localCheckpoint(eager=True)
+    q = bm25_topk_compressed(
+        spark, idx, ds, cs["n_docs"], cs["avgdl"], ["aa", "bb"], k=5
+    )
+    import re
+
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    # formatted output names each operator twice (tree + details) — count
+    # distinct operator ids: the theta metadata pass and THE one decode
+    n_python = len(set(re.findall(r"\((\d+)\) MapInPandas", plan)))
+    assert n_python == 2, plan
+    assert "LeftSemi" not in plan, plan
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_batch_blockmax_pruned_equals_exhaustive(spark, seed):
+    """VERDICT r5 #3: the batch server's fused per-query pruning must be
+    exact — identical (query_id, rank, doc_id, score) rows with blockmax on
+    and off, rounded and unrounded, segmented and not."""
+    import random
+
+    from information_retrieval_project_spark.index.build import (
+        BuildConfig,
+        build_postings,
+        collection_stats,
+        doc_stats,
+    )
+    from information_retrieval_project_spark.queryexec.wand import (
+        bm25_topk_batch_compressed,
+    )
+
+    rng = random.Random(seed)
+    n_docs = rng.randint(300, 1200)
+    terms = [f"t{i}" for i in range(12)]
+    rows = []
+    for d in range(n_docs):
+        doc_id = d * 11 - 4000
+        for i, t in enumerate(terms):
+            if rng.random() < 1.0 / (i + 1):
+                rows.append((doc_id, t, rng.randint(1, 25)))
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    ds = doc_stats(tf).cache()
+    cs = collection_stats(ds).collect()[0]
+    idx = build_postings(
+        tf,
+        BuildConfig(
+            hot_df_threshold=rng.randint(60, 300),
+            docs_per_salt=rng.randint(100, 400),
+            hot_detection_sample=1.0,
+            segment_hot_terms=seed % 2 == 1,
+        ),
+    ).cache()
+    queries = {
+        qid: rng.sample(terms, rng.randint(1, 4)) for qid in range(4)
+    }
+    for rs in (None, 5):
+        k = rng.randint(2, 15)
+        pruned = bm25_topk_batch_compressed(
+            spark, idx, ds, cs["n_docs"], cs["avgdl"], queries,
+            k=k, round_scores=rs, blockmax=True,
+        ).orderBy("query_id", "rank").collect()
+        exhaustive = bm25_topk_batch_compressed(
+            spark, idx, ds, cs["n_docs"], cs["avgdl"], queries,
+            k=k, round_scores=rs, blockmax=False,
+        ).orderBy("query_id", "rank").collect()
+        assert [(r["query_id"], r["rank"], r["doc_id"]) for r in pruned] == [
+            (r["query_id"], r["rank"], r["doc_id"]) for r in exhaustive
+        ], (seed, rs)
+        for a, b in zip(pruned, exhaustive):
+            assert abs(a["score"] - b["score"]) < 1e-9
+    ds.unpersist(); idx.unpersist()
