@@ -3245,54 +3245,21 @@ def q_bm25_topk_faceted_served(spark, sf_dir):
 
 
 # Registration ORDER is part of the driver contract: the correctness gate
-# hashes the FIRST 50 entries in registration order. Rounds 1-4 registered
-# the original 50 first, so everything added in rounds 3-4 (phrase,
-# proximity, facets, PRF, MLT, search_after, dup_clusters, batch BM25, ...)
-# only ever had replica evidence (VERDICT r4 #1). Round 5 ROTATES: the 24
-# never-driver-hashed queries lead, new round-5 queries follow, and the
-# twice-driver-hashed originals fill the tail. All entries are green at
-# three SFs via tools/check_contract.py regardless of position.
+# hashes the FIRST 50 entries in registration order. Round-6 policy
+# (VERDICT r5 #4, now standing): any gate whose implementation changed
+# since its last driver hash re-enters the first-50; the rest of the
+# window is filled with the longest-unhashed entries. This round the
+# optimization pass touched THE WHOLE tf/shingle/serving substrate, so the
+# window leads with the 38 changed gates: every _tf consumer (the
+# mapInArrow tokenizer replaced the native explode+groupBy), every
+# _shingles/minhash consumer (in-row shingle arrays + array_min
+# signatures + single-explode banding), token_stats/doc_quality (tf-based
+# stats), and every compressed-serving consumer (fused single-action
+# block-max, df-emitting decode, batch pruning). The 12 fill slots are
+# gates last driver-hashed in r03/r04 and untouched since. All entries
+# are green via tools/check_contract.py regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-hashed before round 5 (rounds 3-4 additions) ---
-    "event_sessions": q_event_sessions,
-    "event_windows": q_event_windows,
-    "simhash16": q_simhash16,
-    "shipping_priority": q_shipping_priority,
-    "nation_volume": q_nation_volume,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "kmv_sketch": q_kmv_sketch,
-    "top_cooccurring": q_top_cooccurring,
-    "salted_join_volume": q_salted_join_volume,
-    "bm25_topk_batch": q_bm25_topk_batch,
-    "phrase_match_docs": q_phrase_match_docs,
-    "phrase_match_indexed": q_phrase_match_indexed,
-    "dup_clusters": q_dup_clusters,
-    "snippets": q_snippets,
-    "proximity_match": q_proximity_match,
-    "bm25_phrase_topk": q_bm25_phrase_topk,
-    "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
-    "bm25_proximity_topk": q_bm25_proximity_topk,
-    "prf_bm25_topk": q_prf_bm25_topk,
-    "facet_counts": q_facet_counts,
-    "bm25_topk_faceted": q_bm25_topk_faceted,
-    "boolean_or_not_docs": q_boolean_or_not_docs,
-    "more_like_this": q_more_like_this,
-    "bm25_search_after": q_bm25_search_after,
-    # --- new in round 5 ---
-    "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
-    "bm25_page3": q_bm25_page3,
-    "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
-    "bm25_topk_batch_served": q_bm25_topk_batch_served,
-    "fuzzy_term_docs": q_fuzzy_term_docs,
-    "prefix_match_docs": q_prefix_match_docs,
-    "ql_dirichlet_topk": q_ql_dirichlet_topk,
-    "hybrid_rrf_topk": q_hybrid_rrf_topk,
-    "bm25_boosted_topk": q_bm25_boosted_topk,
-    # moved up from the tail: its DEFAULT path changed this round (two-phase
-    # block-max pruning) — the driver must hash the NEW path, not rely on
-    # r03/r04 evidence of the old exhaustive decode
-    "bm25_topk_compressed": q_bm25_topk_compressed,
-    # --- driver-hashed in r03 AND r04 (fill the 50-query window) ---
+    # --- changed in round 6: tf substrate (mapInArrow tokenizer) ---
     "tf_pairs": q_tf_pairs,
     "term_df": q_term_df,
     "doc_stats": q_doc_stats,
@@ -3300,36 +3267,77 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_scores": q_bm25_scores,
     "bm25_topk": q_bm25_topk,
     "tfidf_cosine": q_tfidf_cosine,
-    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "laplace_lm": q_laplace_lm,
+    "more_like_this": q_more_like_this,
+    "boolean_or_not_docs": q_boolean_or_not_docs,
+    "merged_index_df": q_merged_index_df,
+    "deleted_index_df": q_deleted_index_df,
+    "ql_dirichlet_topk": q_ql_dirichlet_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "fuzzy_term_docs": q_fuzzy_term_docs,
+    "prefix_match_docs": q_prefix_match_docs,
+    "bm25_topk_batch": q_bm25_topk_batch,
+    "prf_bm25_topk": q_prf_bm25_topk,
+    "facet_counts": q_facet_counts,
+    "bm25_search_after": q_bm25_search_after,
+    "bm25_page3": q_bm25_page3,
+    "target_doc_threshold": q_target_doc_threshold,
+    "bm25_boosted_topk": q_bm25_boosted_topk,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
+    "bm25_proximity_topk": q_bm25_proximity_topk,
+    "bm25_topk_faceted": q_bm25_topk_faceted,
+    # --- changed in round 6: shingle/minhash substrate ---
     "minhash_signatures": q_minhash_signatures,
     "minhash_band_pairs": q_minhash_band_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "token_stats": q_token_stats,
-    "doc_quality": q_doc_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "cosine_scores": q_cosine_scores,
-    "bigram_counts": q_bigram_counts,
+    "kmv_sketch": q_kmv_sketch,
+    "dup_clusters": q_dup_clusters,
+    # --- changed in round 6: fused compressed serving ---
+    "bm25_topk_compressed": q_bm25_topk_compressed,
+    "bm25_topk_batch_served": q_bm25_topk_batch_served,
+    "bm25_phrase_topk_served": q_bm25_phrase_topk_served,
+    "bm25_proximity_topk_served": q_bm25_proximity_topk_served,
+    "bm25_topk_faceted_served": q_bm25_topk_faceted_served,
+    # --- unchanged, longest-unhashed (last driver hash r03/r04) ---
     "skipgram_counts": q_skipgram_counts,
-    "laplace_lm": q_laplace_lm,
     "ppmi": q_ppmi,
     "pr_curve": q_pr_curve,
     "avg_precision": q_avg_precision,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
     "running_order_totals": q_running_order_totals,
     "lang_distribution": q_lang_distribution,
     "event_sessionize": q_event_sessionize,
     "compressed_term_df": q_compressed_term_df,
     "bm25_topk_sharded": q_bm25_topk_sharded,
     "simhash_fingerprints": q_simhash_fingerprints,
+    # ---------------- outside the 50-query hash window ----------------
+    # driver-hashed r5 and unchanged since
+    "event_sessions": q_event_sessions,
+    "event_windows": q_event_windows,
+    "simhash16": q_simhash16,
+    "shipping_priority": q_shipping_priority,
+    "nation_volume": q_nation_volume,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "top_cooccurring": q_top_cooccurring,
+    "salted_join_volume": q_salted_join_volume,
+    "phrase_match_docs": q_phrase_match_docs,
+    "phrase_match_indexed": q_phrase_match_indexed,
+    "snippets": q_snippets,
+    "proximity_match": q_proximity_match,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "cosine_scores": q_cosine_scores,
+    "bigram_counts": q_bigram_counts,
+    # driver-hashed r03/r04, unchanged, replica-verified every round
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
     "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "boolean_and_docs": q_boolean_and_docs,
     "ann_ivf_topk_fixed": q_ann_ivf_topk_fixed,
-    "merged_index_df": q_merged_index_df,
-    "deleted_index_df": q_deleted_index_df,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "jm_smoothing": q_jm_smoothing,
@@ -3337,14 +3345,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "custkeys_except": q_custkeys_except,
     "json_extract_events": q_json_extract_events,
     "orders_by_month": q_orders_by_month,
-    "target_doc_threshold": q_target_doc_threshold,
     "top_doc_per_lang": q_top_doc_per_lang,
     "perplexity": q_perplexity,
     "tf_pairs_ws": q_tf_pairs_ws,
     "query_term_overlap": q_query_term_overlap,
-    # tail (outside the driver's 50-query hash window by design): rows-only
-    # perf variant — no DuckDB xxhash64, so no value oracle exists; keeping
-    # it out of the window preserves oracled coverage there
+    # rows-only perf variant — no DuckDB xxhash64, so no value oracle
+    # exists; keeping it out of the window preserves oracled coverage there
     "minhash_band_pairs_fast": q_minhash_band_pairs_fast,
 }
 
