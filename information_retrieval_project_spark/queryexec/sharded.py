@@ -82,28 +82,36 @@ def bm25_topk_sharded(
 ) -> DataFrame:
     """Per-shard block-max WAND (exact), global top-k merge.
 
-    IDF must be GLOBAL, so per-term global df is computed first (a tiny
-    aggregate over ≤ shards×|q| rows) and broadcast into the kernel via the
-    cogroup closure."""
+    IDF must be GLOBAL: per-term global df (a tiny aggregate over
+    ≤ shards×|q| rows) is broadcast-JOINED onto the shard rows as a `gdf`
+    column, so the kernel reads it from its own Arrow batch — constructing
+    the query runs ZERO driver actions (r6; it used to collect the df map
+    first, one fixed job round-trip per query)."""
     uniq = sorted(set(query_tokens))
     rows = sharded_index.filter(F.col("term").isin(uniq))
-    gdf = {r["term"]: r["df"] for r in global_term_df(rows).collect()}
-    if not gdf:
-        return spark.createDataFrame([], "doc_id long, score double").select(
-            F.lit(1).alias("rank"), "doc_id", "score"
-        ).limit(0)
+    rows = rows.join(
+        F.broadcast(
+            global_term_df(rows).withColumnRenamed("df", "gdf")
+        ),
+        "term",
+    )
 
     def score(key, idx_pdf: pd.DataFrame, ds_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or ds_pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []})
         postings = {}
         block_max = {}
-        for term, buf, bmt in zip(
-            idx_pdf["term"].values, idx_pdf["postings"].values, idx_pdf["bm_tfs"].values
+        gdf = {}
+        for term, buf, bmt, g in zip(
+            idx_pdf["term"].values,
+            idx_pdf["postings"].values,
+            idx_pdf["bm_tfs"].values,
+            idx_pdf["gdf"].values,
         ):
             d, t = decode_postings(bytes(buf))
             postings[term] = (d, t)
             block_max[term] = varbyte_decode(bytes(bmt)).astype(np.int64)
+            gdf[term] = int(g)
         doc_len = dict(
             zip(ds_pdf["doc_id"].astype(np.int64), ds_pdf["doc_len"].astype(np.int64))
         )
