@@ -286,15 +286,18 @@ def blockmax_prune_info(
     everywhere score < theta-margin <= k-th true - margin: they cannot
     enter the top-k even after rounding (margin adds one rounding unit
     when ranking on round(score, round_scores)) — the served result is
-    IDENTICAL to the exhaustive decode (pytest rank-identity; the
-    driver-hashed bm25_topk_compressed gate runs this path).
+    IDENTICAL to the exhaustive decode (pytest rank-identity).
 
-    Returns None when the sample certifies fewer than k docs — tiny
-    collections, where exhaustive decode is already cheap. Cost: TWO
-    driver actions (every fixed job round-trip is ~0.5-1 s of serial
-    share): the per-term meta aggregate crossJoined with the 1-row
-    doc_stats bounds collects in one job, and the bounded sample-scoring
-    top-k (n_blocks * BLOCK rows per index row) is the other."""
+    Since r6 this is the DIAGNOSTIC / candidate-generation API, not the
+    default serve: it costs TWO driver actions (the fused default path,
+    _bm25_scores_blockmax_fused, costs zero and reads its theta from the
+    stored block-max metadata), but its sampled theta + two-rule mask
+    prune hardest, so it remains the measurable candidate-set reducer for
+    shuffle-bound consumers (decode_candidates(prune=...); the >2x
+    decoded-row reduction is pinned by test_blockmax_candidate_generation
+    _prunes_stopword_postings). Returns None when the sample certifies
+    fewer than k docs — tiny collections, where exhaustive decode is
+    already cheap."""
     # per-term (df, max max_tf) × global dl_min — ONE fused collect (the
     # dl bound repeats on each of the few term rows; that's free)
     meta = (
